@@ -1,0 +1,126 @@
+"""Capsule-based self-collision checking.
+
+Replaces Klampt's mesh-mesh ``collide.group_collision_iter``
+(``grr/robot.py:381-392, 468-479``) with analytic capsule-capsule tests:
+each link mesh (.off) is fitted once on host with a principal-axis capsule,
+then a configuration's collision check is a handful of segment-segment
+distances — branch-free, vmappable, and fused into the IK rejection path on
+device (the reference did a separate C++ call per check).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Capsule(NamedTuple):
+    """Capsule in link-local coordinates: segment [a, b] with radius r."""
+
+    a: jnp.ndarray  # (3,)
+    b: jnp.ndarray  # (3,)
+    r: jnp.ndarray  # ()
+
+
+def fit_capsule_off(vertices: np.ndarray, radius_quantile: float = 0.95) -> Capsule:
+    """Fit a capsule to mesh vertices via PCA.
+
+    The axis is the principal component; endpoints are the extreme
+    projections; the radius is the ``radius_quantile`` of radial distances
+    (a max-radius capsule over-approximates thin meshes so badly that valid
+    configurations get rejected; 0.95 matched the reference's accept/reject
+    behavior on the UR10 arc workload).
+    """
+    v = np.asarray(vertices, dtype=np.float64)
+    c = v.mean(axis=0)
+    centered = v - c
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    axis = vt[0]
+    proj = centered @ axis
+    a = c + axis * proj.min()
+    b = c + axis * proj.max()
+    radial = np.linalg.norm(centered - np.outer(proj, axis), axis=1)
+    r = np.quantile(radial, radius_quantile)
+    return Capsule(
+        jnp.asarray(a, dtype=jnp.float32),
+        jnp.asarray(b, dtype=jnp.float32),
+        jnp.asarray(r, dtype=jnp.float32),
+    )
+
+
+def segment_segment_distance(p1, q1, p2, q2, eps=1e-9):
+    """Minimum distance between segments [p1,q1] and [p2,q2].
+
+    Branch-free version of the classic clamped closest-point algorithm
+    (Ericson, Real-Time Collision Detection §5.1.9) so it vmaps cleanly.
+    """
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    f = jnp.dot(d2, r)
+    c = jnp.dot(d1, r)
+    b = jnp.dot(d1, d2)
+    denom = a * e - b * b
+
+    # general (non-parallel, non-degenerate) candidates
+    s_gen = jnp.where(denom > eps, (b * f - c * e) / jnp.maximum(denom, eps), 0.0)
+    s = jnp.clip(s_gen, 0.0, 1.0)
+    t = (b * s + f) / jnp.maximum(e, eps)
+    t_clamped = jnp.clip(t, 0.0, 1.0)
+    s2 = jnp.clip((b * t_clamped - c) / jnp.maximum(a, eps), 0.0, 1.0)
+    # degenerate segments fall back to point projections
+    s2 = jnp.where(a <= eps, 0.0, s2)
+    t_clamped = jnp.where(e <= eps, 0.0, t_clamped)
+
+    closest1 = p1 + d1 * s2
+    closest2 = p2 + d2 * t_clamped
+    return jnp.linalg.norm(closest1 - closest2)
+
+
+def pairwise_segment_distances(caps_a_world, caps_b_world):
+    """(Na, 2, 3) x (Nb, 2, 3) -> (Na, Nb) segment-segment distances."""
+    def one_vs_all(seg_a):
+        return jax.vmap(
+            lambda seg_b: segment_segment_distance(
+                seg_a[0], seg_a[1], seg_b[0], seg_b[1]
+            )
+        )(caps_b_world)
+
+    return jax.vmap(one_vs_all)(caps_a_world)
+
+
+def capsule_group_collision(
+    caps_a_world,  # (Na, 2, 3) world segments
+    radii_a,  # (Na,)
+    caps_b_world,  # (Nb, 2, 3)
+    radii_b,  # (Nb,)
+    thresholds=None,  # (Na, Nb) optional per-pair collision distances
+):
+    """True if any capsule in group A intersects any capsule in group B.
+
+    Mirrors ``collide.group_collision_iter(self_geometry, ee_geometry)``
+    (``grr/robot.py:389-392``). Capsules over-approximate meshes, so pairs
+    that are geometrically close in every configuration (wrist <-> gripper
+    base) would false-positive with raw ``r_a + r_b`` thresholds; callers
+    pass a calibrated ``thresholds`` matrix instead (see
+    ``Robot._calibrate_collision_thresholds``), the capsule analogue of a
+    MoveIt allowed-collision matrix.
+    """
+    d = pairwise_segment_distances(caps_a_world, caps_b_world)
+    if thresholds is None:
+        thresholds = radii_a[:, None] + radii_b[None, :]
+    return jnp.any(d < thresholds)
+
+
+def transform_capsules(R, t, caps_a, caps_b):
+    """Move local capsule endpoints (N, 3) pairs into world frame given link
+    rotations R (N, 3, 3) and origins t (N, 3)."""
+    mm = lambda rot, v: jnp.matmul(rot, v, precision=jax.lax.Precision.HIGHEST)
+    a_w = jax.vmap(mm)(R, caps_a) + t
+    b_w = jax.vmap(mm)(R, caps_b) + t
+    return jnp.stack([a_w, b_w], axis=1)  # (N, 2, 3)

@@ -1,0 +1,154 @@
+"""Poisson surface reconstruction via spectral (FFT) solve.
+
+NEW capability per the north star (BASELINE.json config 2: "Poisson surface
+reconstruction from stitched cloud vs poisson/ reference output"). The
+reference ships YCB ``poisson/nontextured.ply`` as data but has no Poisson
+code.
+
+Method (Kazhdan, "Reconstruction of Solid Models from Oriented Point Sets",
+SGP 2005 — the Fourier formulation of Poisson reconstruction, which maps
+perfectly onto TPU):
+  1. splat the oriented normal field V onto a regular grid (trilinear),
+  2. smooth V with a Gaussian in Fourier space,
+  3. solve the Poisson equation  div grad chi = div V  spectrally:
+     chi_hat(k) = (i k . V_hat(k)) / (-|k|^2),
+  4. pick the iso-level as the mean of chi over the input samples,
+  5. extract the iso-surface with marching cubes.
+
+Everything is dense FFTs + elementwise math — no octree, no sparse solver,
+no host round trips. Periodic boundary artifacts are pushed outside the
+domain by padding the bounding box.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reconplan_tpu.ops.marching import marching_cubes
+from reconplan_tpu.ops.tsdf import TSDFGrid
+
+
+def _trilinear_splat(grid_shape, idx_f, values):
+    """Scatter-add values (N, C) at fractional grid coords idx_f (N, 3)
+    [x, y, z order] into a (D, H, W, C) grid."""
+    D, H, W = grid_shape
+    C = values.shape[-1]
+    out = jnp.zeros((D, H, W, C), dtype=values.dtype)
+    base = jnp.floor(idx_f).astype(jnp.int32)
+    frac = idx_f - base
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (frac[:, 0] if dx else 1 - frac[:, 0])
+                    * (frac[:, 1] if dy else 1 - frac[:, 1])
+                    * (frac[:, 2] if dz else 1 - frac[:, 2])
+                )
+                xi = jnp.clip(base[:, 0] + dx, 0, W - 1)
+                yi = jnp.clip(base[:, 1] + dy, 0, H - 1)
+                zi = jnp.clip(base[:, 2] + dz, 0, D - 1)
+                out = out.at[zi, yi, xi].add(values * w[:, None])
+    return out
+
+
+def _trilinear_gather(vol, idx_f):
+    """Sample (D, H, W) volume at fractional [x, y, z] coords (N, 3)."""
+    D, H, W = vol.shape
+    base = jnp.floor(idx_f).astype(jnp.int32)
+    frac = idx_f - base
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (frac[:, 0] if dx else 1 - frac[:, 0])
+                    * (frac[:, 1] if dy else 1 - frac[:, 1])
+                    * (frac[:, 2] if dz else 1 - frac[:, 2])
+                )
+                xi = jnp.clip(base[:, 0] + dx, 0, W - 1)
+                yi = jnp.clip(base[:, 1] + dy, 0, H - 1)
+                zi = jnp.clip(base[:, 2] + dz, 0, D - 1)
+                acc = acc + vol[zi, yi, xi] * w
+    return acc
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _poisson_indicator(points, normals, origin, voxel, depth: int, smooth_sigma=1.5):
+    """Solve for the indicator-like field chi on a depth^3 grid.
+
+    Returns (chi (D, D, D), iso scalar).
+    """
+    D = depth
+    idx_f = (points - origin) / voxel  # fractional [x, y, z] grid coords
+
+    V = _trilinear_splat((D, D, D), idx_f, normals)  # (D, D, D, 3)
+
+    k1 = jnp.fft.fftfreq(D) * (2.0 * jnp.pi / voxel)
+    kz = k1[:, None, None]
+    ky = k1[None, :, None]
+    kx = k1[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+
+    g = jnp.exp(-0.5 * (smooth_sigma * voxel) ** 2 * k2)
+
+    Vx = jnp.fft.fftn(V[..., 0]) * g
+    Vy = jnp.fft.fftn(V[..., 1]) * g
+    Vz = jnp.fft.fftn(V[..., 2]) * g
+
+    div_hat = 1j * (kx * Vx + ky * Vy + kz * Vz)
+    denom = jnp.where(k2 == 0, 1.0, -k2)
+    chi_hat = jnp.where(k2 == 0, 0.0, div_hat / denom)
+    chi = jnp.real(jnp.fft.ifftn(chi_hat))
+
+    iso = jnp.mean(_trilinear_gather(chi, idx_f))
+    return chi, iso
+
+
+def poisson_reconstruct(points, normals, depth=128, padding=0.2, return_grid=False):
+    """Reconstruct a triangle mesh from an oriented point cloud.
+
+    Args:
+        points: (N, 3) float array (meters).
+        normals: (N, 3) outward-oriented unit normals.
+        depth: grid resolution per axis (power of two recommended for FFT).
+        padding: bounding-box padding fraction (pushes the periodic wrap
+            of the spectral solve away from the surface).
+        return_grid: also return the (TSDFGrid-shaped) chi field.
+
+    Returns triangles (T, 3, 3) world-space (and the grid if requested).
+    """
+    points = np.asarray(points, dtype=np.float32)
+    normals = np.asarray(normals, dtype=np.float32)
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    extent = float((hi - lo).max())
+    pad = extent * padding
+    origin = lo - pad
+    voxel = (extent + 2 * pad) / (depth - 1)
+
+    chi, iso = _poisson_indicator(
+        jnp.asarray(points),
+        jnp.asarray(normals),
+        jnp.asarray(origin, dtype=jnp.float32),
+        jnp.float32(voxel),
+        depth,
+    )
+    # chi is higher inside (normals outward, div V < 0 inside -> chi > 0
+    # with the sign conventions above); marching expects sdf < 0 inside.
+    field = (iso - chi).astype(jnp.float32)
+    grid = TSDFGrid(
+        sdf=field,
+        weight=jnp.ones_like(field),
+        color=jnp.zeros((0, 0, 0, 3), dtype=jnp.float32),
+        origin=jnp.asarray(origin, dtype=jnp.float32),
+        voxel_size=jnp.float32(voxel),
+        trunc=jnp.float32(voxel),
+    )
+    tris = marching_cubes(grid)
+    if return_grid:
+        return tris, grid
+    return tris

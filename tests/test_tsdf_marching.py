@@ -1,0 +1,181 @@
+"""TSDF fusion + marching cubes tests on synthetic analytic scenes."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from reconplan_tpu.ops import tsdf as tsdf_ops
+from reconplan_tpu.ops.marching import marching_cubes
+
+
+def make_sphere_depths(n_views=8, radius=0.1, center=(0.0, 0.0, 0.0),
+                       H=120, W=160, fx=100.0, fy=100.0):
+    """Render analytic depth maps of a sphere from cameras on a circle.
+
+    Returns (depths (F, H, W) in mm, poses cam->world (F, 4, 4), K).
+    Camera looks down its +z axis (standard pinhole; OpenCV convention).
+    """
+    cx, cy = W / 2.0, H / 2.0
+    center = np.asarray(center, dtype=np.float64)
+    depths, poses = [], []
+    for k in range(n_views):
+        ang = 2 * np.pi * k / n_views
+        eye = center + 0.5 * np.array([np.cos(ang), np.sin(ang), 0.0])
+        # camera z-axis toward the sphere center
+        z = center - eye
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], axis=1)  # columns = camera axes in world
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = eye
+        poses.append(T)
+
+        # ray-sphere intersection per pixel
+        u = np.arange(W) - cx
+        v = np.arange(H) - cy
+        uu, vv = np.meshgrid(u, v)
+        dirs_cam = np.stack([uu / fx, vv / fy, np.ones_like(uu)], axis=-1)
+        dirs = dirs_cam @ R.T
+        oc = eye - center
+        a = np.sum(dirs * dirs, axis=-1)
+        b = 2 * np.sum(dirs * oc, axis=-1)
+        c = np.dot(oc, oc) - radius**2
+        disc = b * b - 4 * a * c
+        t = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
+        depth_m = np.where(t > 0, t * dirs_cam[..., 2], 0.0)  # z-depth = t (z=1)
+        depths.append(depth_m * 1000.0)  # mm
+    return (
+        np.stack(depths).astype(np.float32),
+        np.stack(poses).astype(np.float32),
+        (fx, fy, cx, cy),
+    )
+
+
+@pytest.fixture(scope="module")
+def fused_sphere():
+    depths, poses, K = make_sphere_depths()
+    fx, fy, cx, cy = K
+    grid = tsdf_ops.make_grid(
+        dims=(96, 96, 96), origin=(-0.15, -0.15, -0.15), voxel_size=0.3 / 95
+    )
+    grid = tsdf_ops.integrate_frames(
+        grid, jnp.asarray(depths), jnp.asarray(poses), fx, fy, cx, cy
+    )
+    return grid
+
+
+class TestTSDFIntegration:
+    def test_zero_crossing_at_sphere_surface(self, fused_sphere):
+        grid = fused_sphere
+        pts, mask = tsdf_ops.extract_surface_points(grid)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        assert len(pts) > 500
+        r = np.linalg.norm(pts, axis=-1)
+        # surface voxels should sit within ~1.5 voxels of the true radius
+        assert abs(np.median(r) - 0.1) < 1.5 * 0.3 / 95, np.median(r)
+
+    def test_sdf_sign_structure(self, fused_sphere):
+        grid = fused_sphere
+        sdf = np.asarray(grid.sdf)
+        w = np.asarray(grid.weight)
+        D, H, W = sdf.shape
+        c = D // 2
+        # center of sphere: observed (carved behind surface up to trunc) or
+        # unobserved; but just inside the surface it must be negative
+        vox = 0.3 / 95
+        ri = int(0.1 / vox)
+        inside = sdf[c, c, c + ri - 2]
+        outside = sdf[c, c, c + ri + 3]
+        assert w[c, c, c + ri - 2] > 0 and w[c, c, c + ri + 3] > 0
+        assert inside < 0 < outside
+
+    def test_weights_accumulate_across_frames(self):
+        depths, poses, K = make_sphere_depths(n_views=4)
+        fx, fy, cx, cy = K
+        grid = tsdf_ops.make_grid((64, 64, 64), (-0.15, -0.15, -0.15), 0.3 / 63)
+        g1 = tsdf_ops.integrate_frames(
+            grid, jnp.asarray(depths[:1]), jnp.asarray(poses[:1]), fx, fy, cx, cy
+        )
+        w1 = float(jnp.max(g1.weight))
+        g4 = tsdf_ops.integrate_frames(
+            g1, jnp.asarray(depths[1:]), jnp.asarray(poses[1:]), fx, fy, cx, cy
+        )
+        assert w1 == 1.0
+        assert float(jnp.max(g4.weight)) > 1.0
+
+    def test_color_integration(self):
+        depths, poses, K = make_sphere_depths(n_views=2)
+        fx, fy, cx, cy = K
+        colors = np.zeros(depths.shape + (3,), np.float32)
+        colors[..., 0] = 1.0  # pure red everywhere
+        grid = tsdf_ops.make_grid(
+            (48, 48, 48), (-0.15, -0.15, -0.15), 0.3 / 47, with_color=True
+        )
+        grid = tsdf_ops.integrate_frames(
+            grid, jnp.asarray(depths), jnp.asarray(poses), fx, fy, cx, cy,
+            colors=jnp.asarray(colors),
+        )
+        pts, mask = tsdf_ops.extract_surface_points(grid)
+        m = np.asarray(mask).reshape(grid.sdf.shape)
+        col = np.asarray(grid.color)[m]
+        assert col[:, 0].mean() > 0.95
+        assert col[:, 1].max() < 0.05
+
+
+class TestRaycast:
+    def test_raycast_reproduces_depth(self, fused_sphere):
+        depths, poses, K = make_sphere_depths(n_views=1)
+        fx, fy, cx, cy = K
+        H, W = depths[0].shape
+        rendered = np.asarray(
+            tsdf_ops.raycast_depth(
+                fused_sphere, jnp.asarray(poses[0]), fx, fy, cx, cy, H, W,
+                near=0.2, far=0.8, n_steps=256,
+            )
+        )
+        true = depths[0] / 1000.0
+        both = (rendered > 0) & (true > 0)
+        assert both.mean() > 0.01
+        err = np.abs(rendered[both] - true[both])
+        assert np.median(err) < 0.01  # ~3 voxels
+
+
+class TestMarchingCubes:
+    def test_sphere_mesh_accuracy(self, fused_sphere):
+        tris = marching_cubes(fused_sphere)
+        assert len(tris) > 1000
+        verts = tris.reshape(-1, 3)
+        r = np.linalg.norm(verts, axis=-1)
+        vox = 0.3 / 95
+        # mesh vertices on the analytic sphere within ~a voxel
+        assert abs(np.mean(r) - 0.1) < vox, np.mean(r)
+        assert np.quantile(np.abs(r - 0.1), 0.95) < 2 * vox
+
+    def test_analytic_sdf_sphere(self):
+        """MC on an exact SDF (no fusion noise): tight accuracy bound."""
+        n = 64
+        vox = 0.3 / (n - 1)
+        grid = tsdf_ops.make_grid((n, n, n), (-0.15, -0.15, -0.15), vox, trunc=1.0)
+        zi, yi, xi = np.meshgrid(
+            np.arange(n), np.arange(n), np.arange(n), indexing="ij"
+        )
+        coords = np.stack([xi, yi, zi], -1) * vox + np.array([-0.15, -0.15, -0.15])
+        sdf = np.linalg.norm(coords, axis=-1) - 0.1
+        grid = grid._replace(
+            sdf=jnp.asarray(sdf, dtype=jnp.float32),
+            weight=jnp.ones((n, n, n), dtype=jnp.float32),
+        )
+        tris = marching_cubes(grid)
+        verts = tris.reshape(-1, 3)
+        r = np.linalg.norm(verts, axis=-1)
+        assert np.abs(r - 0.1).max() < 0.35 * vox, np.abs(r - 0.1).max()
+
+    def test_empty_grid_no_triangles(self):
+        grid = tsdf_ops.make_grid((16, 16, 16), (0, 0, 0), 0.01)
+        tris = marching_cubes(grid)
+        assert len(tris) == 0
