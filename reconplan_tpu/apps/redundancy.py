@@ -1,0 +1,126 @@
+"""Roadmap build CLI — rebuild of the reference's ``redundancy.py``.
+
+Pipeline (``redundancy.py:16-148``):
+  1. load problem JSON, build robot;
+  2. sample the workspace (arc mode by default, as modified upstream);
+  3. discover up to 8 spaced seed configurations by IK over graph nodes
+     with joint-distance gating (``redundancy.py:55-113`` replaced the
+     JSON init_configs with this auto-discovery; both are supported here
+     via --seeds);
+  4. global expansion; boundary repair (1 layer, 2 iters,
+     ``redundancy.py:128``);
+  5. build + save the resolution roadmap (npz, not pickles);
+  6. evaluate roadmap quality.
+
+Usage: python -m reconplan_tpu.apps.redundancy <robot> <rotation_type>
+           [--nodes N] [--seeds auto|json] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from reconplan_tpu.grr import RedundancyResolution, evaluate_roadmap
+from reconplan_tpu.io.config import load_problem
+from reconplan_tpu.kin.robot import make_robot
+
+DEFAULT_OBJ_POS = [0.75, 0.75, 0.0]  # main.py:45
+
+
+def discover_seed_configs(robot, workspace, n_seeds=8, min_joint_distance=4.0,
+                          seed=0, verbose=True):
+    """Auto-select spaced seed configurations (``redundancy.py:67-101``):
+    batched IK over all workspace nodes from random inits, then greedily
+    keep solutions whose joint distance to every kept seed exceeds the
+    gate. One device dispatch replaces the reference's per-node loop."""
+    pts = workspace.points
+    rng = np.random.default_rng(seed)
+    robot._rng = rng
+    inits = robot.sample(len(pts))
+    q, ok = robot.solve_ik_batch(pts, inits)
+    q, ok = np.asarray(q), np.asarray(ok)
+    seeds = []
+    for i in np.flatnonzero(ok):
+        if all(robot.distance(q[i], s) >= min_joint_distance for s in seeds):
+            seeds.append(q[i])
+            if len(seeds) >= n_seeds:
+                break
+    if verbose:
+        print(f"Discovered {len(seeds)} seed configurations")
+    return np.asarray(seeds, dtype=np.float32)
+
+
+def build_roadmap(
+    robot_name="ur10",
+    rotation_type="rot_variable_yaw",
+    n_pos_points=None,
+    obj_pos=DEFAULT_OBJ_POS,
+    sampling_method="random",
+    seeds="auto",
+    out_dir=None,
+    verbose=True,
+):
+    opts = load_problem(robot_name, rotation_type)
+    robot = make_robot(opts)
+    res = RedundancyResolution(robot)
+
+    n_pos = n_pos_points or opts.get("number_of_position_points", 1000)
+    n_rot = opts.get("number_of_rotation_points", 1)
+    t0 = time.time()
+    res.sample_workspace(obj_pos, n_pos, n_rot, sampling_method)
+    if verbose:
+        print(
+            f"Workspace: {res.workspace.num_nodes} nodes, "
+            f"{len(res.workspace.edges)} edges ({time.time()-t0:.1f}s)"
+        )
+
+    if seeds == "auto":
+        seed_configs = discover_seed_configs(robot, res.workspace, verbose=verbose)
+    else:
+        seed_configs = np.asarray(opts["init_configs"], dtype=np.float32)
+
+    t0 = time.time()
+    res.global_expansion(seed_configs)
+    if verbose:
+        print(f"Expansion: {time.time()-t0:.1f}s")
+    res.fix_boundary(1, 2)  # redundancy.py:128
+    res.build_resolution_graph_and_nn()
+
+    if out_dir is None:
+        out_dir = os.path.join("graph", robot_name, rotation_type)
+    os.makedirs(out_dir, exist_ok=True)
+    res.save_workspace_graph(os.path.join(out_dir, "workspace.npz"))
+    res.save_resolution_graph(os.path.join(out_dir, "resolution.npz"))
+    if verbose:
+        print(f"Saved roadmap to {out_dir}")
+
+    metrics = evaluate_roadmap(res, verbose=verbose)
+    return res, metrics
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("robot", nargs="?", default="ur10")
+    ap.add_argument("rotation_type", nargs="?", default="rot_variable_yaw")
+    ap.add_argument("--nodes", type=int, default=None)
+    ap.add_argument("--seeds", choices=["auto", "json"], default="auto")
+    ap.add_argument("--method", default="random",
+                    choices=["random", "grid", "uniform_random"])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+    build_roadmap(
+        args.robot,
+        args.rotation_type,
+        n_pos_points=args.nodes,
+        sampling_method=args.method,
+        seeds=args.seeds,
+        out_dir=args.out,
+    )
+
+
+if __name__ == "__main__":
+    main()

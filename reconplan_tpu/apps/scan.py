@@ -1,0 +1,235 @@
+"""Flagship scan-plan-capture-reconstruct app — rebuild of ``main.py``.
+
+Pipeline (reference ``main.py:18-254``):
+  1. load (or build) the UR10 GRR roadmap;
+  2. construct the 500-pose tilted look-at arc around the object
+     (``main.py:68-136``) -> wtraj_input.txt;
+  3. solve it sequentially with GRR threading curr_config
+     (``grr_plan``, ``main.py:257-307``) -> ctraj.txt, trackarr.txt;
+  4. FK the joint trajectory -> wtraj.txt (``main.py:153-165``);
+  5. "execute": sample n_images camera poses evenly along the trajectory
+     and render RGBD from the wrist D435 frame (the reference stepped
+     PyBullet at 240 Hz and grabbed 12 frames; here the synthetic splat
+     camera renders the same look-at views on device);
+  6. reconstruct: ICP stitching (stitcher path) AND/OR direct TSDF fusion
+     with the FK camera poses + marching cubes; report Chamfer vs the YCB
+     ground truth.
+
+Where the reference needed a GUI, two PyBullet clients, and Open3D, this
+runs end-to-end on one TPU with numpy glue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from reconplan_tpu.core import maths
+from reconplan_tpu.grr.paths import scan_arc
+from reconplan_tpu.io.frames import FrameSet
+from reconplan_tpu.io.meshio import load_mesh, save_ply
+from reconplan_tpu.io.render import SplatCamera, camera_look_at
+from reconplan_tpu.recon.fusion import FusionPipeline
+from reconplan_tpu.recon.metrics import chamfer_to_mesh
+from reconplan_tpu.recon.stitcher import PinholeIntrinsic, RGBDStitcher
+
+OBJECT_POINT = [0.75, 0.75, 0.0]  # main.py:45
+BANANA_MESH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data", "objects", "011_banana", "poisson", "nontextured.ply",
+)
+# D435 intrinsics hardcoded at main.py:241-244
+D435 = dict(fx=615.6707153320312, fy=615.962158203125,
+            cx=326.0557861328125, cy=240.55592346191406)
+
+
+def grr_plan(grr, workspace_path, track_array=None):
+    """Sequential GRR solve threading curr_config (``main.py:257-307``)."""
+    if track_array is None:
+        track_array = []
+    config_path = []
+    curr = None
+    for waypoint in workspace_path:
+        q = grr.solve(
+            list(waypoint), curr_config=curr, none_on_fail=True,
+            TrackArray=track_array,
+        )
+        config_path.append(q)
+        if q is not None:
+            curr = q
+    n_bad = sum(1 for q in config_path if q is None)
+    if n_bad:
+        print(f"\n{n_bad} invalid configurations found\n")
+    return config_path
+
+
+def run_scan(
+    roadmap_dir=None,
+    n_waypoints=500,
+    n_images=12,
+    out_dir="scan_output",
+    reconstruct="fuse",  # "fuse" | "stitch" | "both"
+    grid_dim=256,
+    n_roadmap_nodes=500,
+    verbose=True,
+):
+    os.makedirs(out_dir, exist_ok=True)
+    from reconplan_tpu.grr import RedundancyResolution
+    from reconplan_tpu.io.config import load_problem
+    from reconplan_tpu.kin.robot import make_robot
+
+    opts = load_problem("ur10", "rot_free")
+    robot = make_robot(opts)
+    grr = RedundancyResolution(robot)
+    if roadmap_dir and os.path.exists(os.path.join(roadmap_dir, "resolution.npz")):
+        grr.load_resolution_graph(os.path.join(roadmap_dir, "resolution.npz"))
+        grr.load_workspace_graph(os.path.join(roadmap_dir, "workspace.npz"))
+    else:
+        if verbose:
+            print("No roadmap found - building one")
+        from reconplan_tpu.apps.redundancy import build_roadmap
+
+        grr, _ = build_roadmap(
+            "ur10", "rot_free", n_pos_points=n_roadmap_nodes,
+            sampling_method="random", out_dir=roadmap_dir, verbose=verbose,
+        )
+
+    # ---- arc construction (main.py:68-136) ----
+    arc = scan_arc(OBJECT_POINT, radius=0.3, height=0.15, num_points=n_waypoints)
+    with open(os.path.join(out_dir, "wtraj_input.txt"), "w") as f:
+        for p in arc:
+            f.write(",".join(map(str, [list(p[:3]), list(p[3:7])])) + "\n")
+
+    # ---- GRR plan (main.py:142-151) ----
+    track = []
+    t0 = time.time()
+    config_path = grr_plan(grr, arc, track)
+    if verbose:
+        ok = sum(1 for q in config_path if q is not None)
+        print(f"grr_plan: {ok}/{len(arc)} waypoints solved in {time.time()-t0:.1f}s")
+    maneuver_time = 10.0  # main.py:145
+    times = np.linspace(0, maneuver_time, len(config_path))
+    with open(os.path.join(out_dir, "ctraj.txt"), "w") as f:
+        for t, q in zip(times, config_path):
+            f.write(f"{t},{np.array2string(np.asarray(q), separator=' ') if q is not None else None}\n")
+    with open(os.path.join(out_dir, "trackarr.txt"), "w") as f:
+        for entry in track:
+            f.write(f"{entry}\n")
+
+    # ---- FK workspace trajectory (main.py:153-165) ----
+    valid = [q for q in config_path if q is not None]
+    if not valid:
+        raise RuntimeError("no valid configurations solved")
+    qs = np.asarray(valid, dtype=np.float32)
+    ee = np.asarray(robot.fk_point_batch(qs))
+    with open(os.path.join(out_dir, "wtraj.txt"), "w") as f:
+        for t, p in zip(times, ee):
+            f.write(f"{t},[array({list(p[:3])}), array({list(p[3:7])})]\n")
+
+    # ---- capture (main.py:213-234; bullet_camera.py) ----
+    cam = SplatCamera(**D435)
+    cam.add_mesh_file(BANANA_MESH, translate=OBJECT_POINT)
+    cam_link = robot.camera_link
+    # camera positions: FK of the d435 color frame along the trajectory
+    full_pos, _ = robot.solve_fk_batch(qs)
+    # fk_links doesn't include the camera link; do a direct FK for it
+    from reconplan_tpu.kin.chain import fk_all
+    import jax
+
+    def cam_pos_of(q):
+        full = robot._q_rest.at[robot._active_idx].set(q)
+        _, t = fk_all(robot.model, full)
+        return t[cam_link]
+
+    cam_positions = np.asarray(
+        jax.jit(jax.vmap(cam_pos_of))(jnp.asarray(qs))
+    )
+    pick = np.linspace(0, len(qs) - 1, n_images).astype(int)
+    depths, colors, poses = [], [], []
+    for i in pick:
+        d, c, T = cam.take_picture(cam_positions[i], OBJECT_POINT)
+        depths.append(d)
+        colors.append(c)
+        poses.append(T)
+    frames = FrameSet(
+        depth=np.stack(depths),
+        color=np.stack(colors),
+        poses=np.stack(poses).astype(np.float32),
+        depth_scale=1000.0,
+        intrinsics=(D435["fx"], D435["fy"], D435["cx"], D435["cy"]),
+    )
+    if verbose:
+        cover = (frames.depth > 0).mean(axis=(1, 2))
+        print(f"captured {n_images} frames, mean coverage {cover.mean():.3%}")
+
+    # ---- reconstruction ----
+    results = {}
+    gt_v, gt_f = load_mesh(BANANA_MESH)
+    gt_v = gt_v + np.asarray(OBJECT_POINT)
+
+    if reconstruct in ("fuse", "both"):
+        t0 = time.time()
+        pipe = FusionPipeline(
+            dims=(grid_dim,) * 3,
+            origin=(OBJECT_POINT[0] - 0.15, OBJECT_POINT[1] - 0.15, -0.05),
+            voxel_size=0.3 / (grid_dim - 1),
+            with_color=True,
+        )
+        pipe.integrate(frames)
+        mesh = pipe.extract_mesh()
+        if verbose:
+            print(f"TSDF fusion + MC: {time.time()-t0:.1f}s, {len(mesh)} triangles")
+        save_ply(os.path.join(out_dir, "fused_mesh.ply"), triangles=mesh)
+        if len(mesh):
+            ch, ab, ba = chamfer_to_mesh(mesh.reshape(-1, 3), gt_v, gt_f)
+            results["fuse_chamfer_mm"] = ch * 1000
+            if verbose:
+                print(f"fused mesh Chamfer vs GT: {ch*1000:.3f} mm")
+
+    if reconstruct in ("stitch", "both"):
+        t0 = time.time()
+        stitcher = RGBDStitcher(PinholeIntrinsic(640, 480, **D435))
+        cloud = stitcher.stitch_sequence(
+            list(frames.color), list(frames.depth), poses=frames.poses
+        )
+        pts, cols, _ = cloud.compact()
+        if verbose:
+            print(f"ICP stitch: {time.time()-t0:.1f}s, {len(pts)} points")
+        save_ply(os.path.join(out_dir, "stitched_cloud.ply"), vertices=pts,
+                 colors=cols if len(cols) else None)
+        if len(pts):
+            ch, ab, ba = chamfer_to_mesh(pts, gt_v, gt_f)
+            results["stitch_chamfer_mm"] = ch * 1000
+            if verbose:
+                print(f"stitched cloud Chamfer vs GT: {ch*1000:.3f} mm")
+
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--roadmap", default="graph/ur10/rot_free")
+    ap.add_argument("--waypoints", type=int, default=500)
+    ap.add_argument("--images", type=int, default=12)
+    ap.add_argument("--out", default="scan_output")
+    ap.add_argument("--reconstruct", default="both",
+                    choices=["fuse", "stitch", "both"])
+    ap.add_argument("--grid", type=int, default=256)
+    args = ap.parse_args(argv)
+    run_scan(
+        roadmap_dir=args.roadmap,
+        n_waypoints=args.waypoints,
+        n_images=args.images,
+        out_dir=args.out,
+        reconstruct=args.reconstruct,
+        grid_dim=args.grid,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Experiment layer: trajectory generation, teleop solvers, quality metrics.
+
+Rebuild of ``Expansion-GRR/experiment/`` (the reference's de-facto test
+suite, SURVEY.md §4):
+  - trajectory_generator.py -> :func:`generate_trajectories` (random/self
+    lines, random/outward circles, IK-validated endpoints)
+  - trajectory_quality.py   -> :func:`grr_teleop_solver`,
+    :func:`newton_teleop_solver`, :func:`run_teleop_benchmark`
+  - experiment/utils.py     -> :func:`check_c_traj`, :func:`get_ws_traj`,
+    :func:`dynamic_time_warping`
+
+The teleop comparison (Expansion-GRR vs plain Newton/DLS IK) reproduces the
+reference's benchmark protocol: per-step max joint change 0.04, 100
+convergence steps at the goal, success = goal within 0.1 and collision-free
+along the interpolated path, deviation = DTW distance between workspace
+trajectories.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from reconplan_tpu.core import maths
+from reconplan_tpu.grr.paths import linear_interpolate
+
+
+# ---------------------------------------------------------------------------
+# trajectory generation (trajectory_generator.py:20-249)
+# ---------------------------------------------------------------------------
+
+
+def _random_point_in_domain(robot, rng):
+    p = np.array([rng.uniform(a, b) for a, b in robot.domain])
+    if robot.rotation == "variable":
+        g = rng.normal(size=4)
+        return np.concatenate([p, g / np.linalg.norm(g)])
+    return p
+
+
+def generate_trajectories(
+    robot,
+    kind="line_random",
+    n_trajectories=10,
+    duration=4.0,
+    hz=50,
+    seed=0,
+    max_tries=200,
+):
+    """Generate IK-validated task trajectories.
+
+    kinds: line_random (two random reachable points), line_self (random
+    direction from a reachable point), circle_random / circle_out (circular
+    sweeps). Returns list of (T, D) workspace paths.
+    """
+    rng = np.random.default_rng(seed)
+    n_points = int(duration * hz)
+    out = []
+    tries = 0
+    while len(out) < n_trajectories and tries < max_tries * n_trajectories:
+        tries += 1
+        a = _random_point_in_domain(robot, rng)
+        if kind.startswith("line"):
+            if kind == "line_self":
+                delta = rng.normal(size=3) * 0.3
+                b = a.copy()
+                b[:3] = np.clip(
+                    a[:3] + delta,
+                    [lo for lo, _ in robot.domain],
+                    [hi for _, hi in robot.domain],
+                )
+            else:
+                b = _random_point_in_domain(robot, rng)
+            # endpoints must both be solvable
+            qa = robot.solve_ik(a)
+            qb = robot.solve_ik(b)
+            if qa is None or qb is None:
+                continue
+            traj = np.stack(
+                [linear_interpolate(a, b, u) for u in np.linspace(0, 1, n_points)]
+            )
+        elif kind.startswith("circle"):
+            center = _random_point_in_domain(robot, rng)
+            radius = rng.uniform(0.05, 0.2)
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            # orthonormal frame
+            ref = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
+            u1 = np.cross(axis, ref); u1 /= np.linalg.norm(u1)
+            u2 = np.cross(axis, u1)
+            th = np.linspace(0, 2 * np.pi, n_points)
+            pos = center[:3] + radius * (np.outer(np.cos(th), u1) + np.outer(np.sin(th), u2))
+            if robot.rotation == "variable":
+                rot = np.tile(center[3:7], (n_points, 1))
+                traj = np.concatenate([pos, rot], axis=-1)
+            else:
+                traj = pos
+            if robot.solve_ik(traj[0]) is None:
+                continue
+        else:
+            raise ValueError(f"unknown trajectory kind {kind}")
+        out.append(traj.astype(np.float32))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# teleop solvers (trajectory_quality.py:24-144)
+# ---------------------------------------------------------------------------
+
+
+def _step_toward(robot, curr, target, max_change=0.04):
+    """Clamped joint step (trajectory_quality.py per-step limit)."""
+    diff = np.asarray(target) - np.asarray(curr)
+    for i in robot.cyclic_joints:
+        diff[i] = float(maths.wrap_to_pi(diff[i]))
+    m = np.abs(diff).max()
+    if m <= max_change:
+        return np.asarray(target, dtype=np.float64)
+    return np.asarray(robot.interpolate(curr, target, max_change / m))
+
+
+def newton_teleop_solver(robot, trajectory, q0, max_change=0.04,
+                         converge_steps=100):
+    """Track a workspace trajectory with plain DLS-IK seeded from the
+    current config (trajectory_quality.py:24-65)."""
+    q = np.asarray(q0, dtype=np.float64)
+    c_traj = [q]
+    for point in trajectory:
+        target = robot.solve_ik(point, q, none_on_fail=False)
+        q = _step_toward(robot, q, target, max_change)
+        c_traj.append(q)
+    for _ in range(converge_steps):
+        target = robot.solve_ik(trajectory[-1], q, none_on_fail=False)
+        q_new = _step_toward(robot, q, target, max_change)
+        if np.allclose(q_new, q, atol=1e-6):
+            break
+        q = q_new
+        c_traj.append(q)
+    return np.asarray(c_traj)
+
+
+def grr_teleop_solver(resolution, trajectory, q0, max_change=0.04,
+                      converge_steps=100):
+    """Track a workspace trajectory with GRR teleop
+    (trajectory_quality.py:68-107)."""
+    robot = resolution.robot
+    q = np.asarray(q0, dtype=np.float64)
+    c_traj = [q]
+    for point in trajectory:
+        q_new = resolution.teleop_solve(point, q, max_change)
+        if q_new is not None:
+            q = np.asarray(q_new, dtype=np.float64)
+        c_traj.append(q)
+    for _ in range(converge_steps):
+        q_new = resolution.teleop_solve(trajectory[-1], q, max_change)
+        if q_new is None or np.allclose(q_new, q, atol=1e-6):
+            break
+        q = np.asarray(q_new, dtype=np.float64)
+        c_traj.append(q)
+    return np.asarray(c_traj)
+
+
+# ---------------------------------------------------------------------------
+# metrics (experiment/utils.py)
+# ---------------------------------------------------------------------------
+
+
+def config_traj_length(robot, c_traj):
+    """Total joint-space length (experiment/utils.py trajectory length)."""
+    if len(c_traj) < 2:
+        return 0.0
+    d = np.asarray(
+        robot.distance_batch(jnp.asarray(c_traj[:-1]), jnp.asarray(c_traj[1:]))
+    )
+    return float(d.sum())
+
+
+def workspace_traj_length(w_traj):
+    if len(w_traj) < 2:
+        return 0.0
+    return float(
+        np.linalg.norm(np.diff(np.asarray(w_traj)[:, :3], axis=0), axis=-1).sum()
+    )
+
+
+def get_ws_traj(robot, c_traj):
+    """FK-resample a config trajectory to workspace
+    (experiment/utils.py:66-84)."""
+    pts = np.asarray(robot.fk_point_batch(np.asarray(c_traj, dtype=np.float32)))
+    if robot.rotation != "variable":
+        return pts[:, :3]
+    return pts
+
+
+def check_c_traj(robot, c_traj, goal_point, goal_tolerance=0.1,
+                 collision_samples=4):
+    """Trajectory validity (experiment/utils.py:30-63): final pose within
+    ``goal_tolerance`` of the goal AND no self-collision along the
+    interpolated path."""
+    c_traj = np.asarray(c_traj)
+    ee = np.asarray(robot.fk_point_batch(c_traj[-1:].astype(np.float32)))[0]
+    if np.linalg.norm(ee[:3] - np.asarray(goal_point)[:3]) > goal_tolerance:
+        return False
+    for qa, qb in zip(c_traj[:-1], c_traj[1:]):
+        for u in np.linspace(0, 1, collision_samples, endpoint=False):
+            q = robot.interpolate(qa, qb, float(u))
+            if robot.check_self_collision(q):
+                return False
+    return True
+
+
+def dynamic_time_warping(traj1, traj2):
+    """DTW distance between two workspace paths (positions), the pure-python
+    fastdtw replacement (experiment/utils.py:87-144). O(N*M) vectorized."""
+    a = np.asarray(traj1)[:, :3]
+    b = np.asarray(traj2)[:, :3]
+    n, m = len(a), len(b)
+    dist = np.linalg.norm(a[:, None] - b[None], axis=-1)
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        mins = np.minimum(D[i - 1, 1:], np.minimum(D[i - 1, :-1], D[i, :-1]))
+        # rolling update along j (dependency on D[i, j-1])
+        row = np.empty(m)
+        prev = np.inf
+        for j in range(m):
+            best = min(D[i - 1, j + 1], D[i - 1, j], prev)
+            prev = dist[i - 1, j] + best
+            row[j] = prev
+        D[i, 1:] = row
+    return float(D[n, m])
+
+
+def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04):
+    """Compare GRR teleop vs Newton-IK tracking over generated trajectories
+    (trajectory_quality.py:147-285). Returns per-method dicts of success
+    rate, mean DTW deviation, and config/workspace length ratio."""
+    robot = resolution.robot
+    rng = np.random.default_rng(seed)
+    results = {"grr": [], "newton": []}
+    for traj in trajectories:
+        q0 = robot.solve_ik(traj[0])
+        if q0 is None:
+            continue
+        for name, solver in (
+            ("grr", lambda: grr_teleop_solver(resolution, traj, q0, max_change)),
+            ("newton", lambda: newton_teleop_solver(robot, traj, q0, max_change)),
+        ):
+            c_traj = solver()
+            w_traj = get_ws_traj(robot, c_traj)
+            ok = check_c_traj(robot, c_traj, traj[-1])
+            results[name].append(
+                {
+                    "success": ok,
+                    "dtw": dynamic_time_warping(w_traj, traj),
+                    "ratio": config_traj_length(robot, c_traj)
+                    / max(workspace_traj_length(w_traj), 1e-9),
+                }
+            )
+    summary = {}
+    for name, rows in results.items():
+        if not rows:
+            summary[name] = {}
+            continue
+        summary[name] = {
+            "success_rate": float(np.mean([r["success"] for r in rows])),
+            "mean_dtw": float(np.mean([r["dtw"] for r in rows])),
+            "mean_ratio": float(np.mean([r["ratio"] for r in rows])),
+            "n": len(rows),
+        }
+    return summary

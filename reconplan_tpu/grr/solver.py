@@ -1,0 +1,496 @@
+"""Expansion solver: global redundancy resolution by BFS expansion.
+
+Rebuild of ``Expansion-GRR/grr/solver.py`` (``RedundancySolver``). The
+algorithm is preserved — BFS wavefront from seed configurations, per-node
+IK projection of the inverse-square-distance weighted average of <=4-layer
+neighbor configurations, bisection continuity checks on edges, boundary
+destruct-and-rebuild — but the execution model is inverted for TPU:
+
+  * the reference issues ONE C++ IK call per node and per bisection
+    midpoint inside Python loops (its hottest path, ``solver.py:98-149``,
+    ``321-363``);
+  * here the BFS frontier is processed in level-synchronous WAVES: one
+    batched DLS-IK dispatch projects the whole wave, and continuity checks
+    run as a fixed-depth, level-parallel bisection (all 2^l midpoints of
+    all candidate edges solve in one dispatch per level).
+
+Known, documented divergence: nodes within the same BFS wave do not see
+each other's freshly assigned configurations (the reference's FIFO order
+does). The outer repeat-until-no-update loop (same as the reference's)
+re-sweeps until convergence, which empirically yields equivalent roadmaps
+(see tests/test_grr.py metrics).
+
+Bisection correspondence: the reference subdivides an edge into
+``n_divs + 1 = ceil(dist/eps) + 1`` integer segments and recursively solves
+midpoints seeded from interpolated endpoints (``solver.py:321-363``). Here
+the segment count rounds UP to the next power of two (checks at least as
+finely), which makes every edge share the same interpolation parameters
+u = (2j+1)/2^(l+1) per level — the whole level vectorizes. ``none_on_fail``
+semantics are kept: a midpoint fails the edge only on collision/floor
+violation, not on IK non-convergence, and the deviation test
+``d(qa, qm) > 1.8 * d(qa, qb)`` matches ``solver.py:317-319,354-358``.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from reconplan_tpu.core import maths
+from reconplan_tpu.kin.ik import dls_ik_batch
+
+
+_MAX_BISECT_DEPTH = 6  # up to 64 segments per edge
+
+
+class ExpansionSolver:
+    """Assigns one configuration per workspace node such that neighboring
+    nodes have continuously-connected configurations."""
+
+    def __init__(self, workspace, robot):
+        self.workspace = workspace
+        self.robot = robot
+        n = workspace.num_nodes
+        A = robot.num_joints
+        self.configs = np.zeros((n, A), dtype=np.float32)
+        self.has_config = np.zeros(n, dtype=bool)
+        self.edge_connected = np.zeros(len(workspace.edges), dtype=bool)
+        self._edge_index = {
+            (int(i), int(j)): e for e, (i, j) in enumerate(workspace.edges)
+        }
+        # native BFS/graph queries (C++ graphcore with python fallback)
+        from reconplan_tpu.utils.native import GraphCore
+
+        self._gc = (
+            GraphCore(n, workspace.edges, workspace.edge_weights)
+            if len(workspace.edges)
+            else None
+        )
+
+    # ------------------------------------------------------------------
+    # batched primitives
+    # ------------------------------------------------------------------
+    def _ik_batch(self, points, seeds, max_iters=100, tolerance=1e-3):
+        """(B, 7) points, (B, A) seeds -> (configs, converged, valid).
+
+        Batch sizes are padded to the next power of two (min 8): BFS waves
+        and bisection levels produce arbitrary sizes, and without bucketing
+        every distinct B would trigger a fresh XLA compilation.
+        """
+        robot = self.robot
+        B = len(points)
+        padded = max(8, 1 << int(np.ceil(np.log2(max(B, 1)))))
+        if padded != B:
+            points = np.concatenate(
+                [points, np.repeat(points[-1:], padded - B, axis=0)]
+            )
+            seeds = np.concatenate(
+                [np.asarray(seeds), np.repeat(np.asarray(seeds)[-1:], padded - B, axis=0)]
+            )
+        pos, rotm, use_rot = robot._ik_targets(points)
+        res = dls_ik_batch(
+            robot.model,
+            robot._active_tuple,
+            robot.ee_link,
+            pos,
+            rotm,
+            jnp.asarray(seeds, dtype=jnp.float32),
+            robot._q_rest,
+            max_iters=max_iters,
+            tolerance=tolerance,
+            use_rotation=use_rot,
+        )
+        q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
+        valid = robot._validate_batch(q)
+        return (
+            np.asarray(q)[:B],
+            np.asarray(res.success)[:B],
+            np.asarray(valid)[:B],
+        )
+
+    def project_neighbors_batch(self, nodes, k_layers=4):
+        """Batched ``project_neighbors`` (``solver.py:227-259``): for each
+        node, IK-project the inverse-square-distance weighted average of
+        its configured <=k-layer neighbors. Returns (configs (B, A),
+        ok (B,)) with ok False where no configured neighbor exists or IK
+        fails validation."""
+        ws = self.workspace
+        B = len(nodes)
+        if B == 0:
+            return np.zeros((0, self.robot.num_joints), np.float32), np.zeros(0, bool)
+
+        neighbor_sets = [
+            [j for j in self._k_layer_neighbors(i, k_layers) if self.has_config[j]]
+            for i in nodes
+        ]
+        max_k = max((len(s) for s in neighbor_sets), default=0)
+        if max_k == 0:
+            return np.zeros((B, self.robot.num_joints), np.float32), np.zeros(B, bool)
+        # bucket K to a power of two to bound recompilation
+        max_k = 1 << int(np.ceil(np.log2(max_k)))
+
+        nbr_idx = np.zeros((B, max_k), dtype=np.int64)
+        nbr_mask = np.zeros((B, max_k), dtype=bool)
+        for b, s in enumerate(neighbor_sets):
+            nbr_idx[b, : len(s)] = s
+            nbr_mask[b, : len(s)] = True
+
+        pts = ws.points[nodes]  # (B, D)
+        nbr_pts = ws.points[nbr_idx]  # (B, K, D)
+        nbr_cfg = self.configs[nbr_idx]  # (B, K, A)
+
+        seeds = np.asarray(
+            _weighted_average_batch(
+                jnp.asarray(pts),
+                jnp.asarray(nbr_pts),
+                jnp.asarray(nbr_cfg),
+                jnp.asarray(nbr_mask),
+                self.robot._cyclic_mask,
+            )
+        )
+        q, conv, valid = self._ik_batch(pts, seeds)
+        ok = conv & valid & nbr_mask.any(axis=1)
+        return q, ok
+
+    def _k_layer_neighbors(self, i, k):
+        """k-layer BFS neighborhood excluding i (``solver.py:261-282``);
+        served by the native graph core when available."""
+        if self._gc is not None:
+            return self._gc.k_layer_neighbors(i, k)
+        visited = {i}
+        layer = {i}
+        for _ in range(k):
+            nxt = set()
+            for node in layer:
+                nxt.update(self.workspace.adjacency[node])
+            nxt -= visited
+            visited |= nxt
+            layer = nxt
+        visited.discard(i)
+        return visited
+
+    # ------------------------------------------------------------------
+    # continuity (solver.py:304-363)
+    # ------------------------------------------------------------------
+    def is_continuous_batch(self, q1, q2, p1, p2):
+        """Vectorized bisection continuity check for B (config, point)
+        pairs. Returns (B,) bool."""
+        q1 = np.asarray(q1, dtype=np.float32).reshape(-1, self.robot.num_joints)
+        q2 = np.asarray(q2, dtype=np.float32).reshape(-1, self.robot.num_joints)
+        p1 = np.asarray(p1, dtype=np.float32).reshape(len(q1), -1)
+        p2 = np.asarray(p2, dtype=np.float32).reshape(len(q1), -1)
+        B_real = len(q1)
+        # bucket B to a power of two (min 4) to bound recompilation
+        B = max(4, 1 << int(np.ceil(np.log2(max(B_real, 1)))))
+        if B != B_real:
+            rep = B - B_real
+            q1 = np.concatenate([q1, np.repeat(q1[-1:], rep, axis=0)])
+            q2 = np.concatenate([q2, np.repeat(q2[-1:], rep, axis=0)])
+            p1 = np.concatenate([p1, np.repeat(p1[-1:], rep, axis=0)])
+            p2 = np.concatenate([p2, np.repeat(p2[-1:], rep, axis=0)])
+        A = self.robot.num_joints
+
+        eps = np.sqrt(A) * 5e-2  # solver.py:318
+        deviation = 1.8  # solver.py:317
+        dist = np.asarray(self.robot.distance_batch(q1, q2))
+        n_divs = np.ceil(dist / eps).astype(np.int64)
+        depth = np.ceil(np.log2(np.maximum(n_divs + 1, 1))).astype(np.int64)
+        depth = np.minimum(depth, _MAX_BISECT_DEPTH)
+        S = 1 << _MAX_BISECT_DEPTH
+
+        # segment configs at resolution S; start with endpoints
+        Q = np.zeros((B, S + 1, A), dtype=np.float32)
+        Q[:, 0] = q1
+        Q[:, S] = q2
+        ok = np.ones(B, dtype=bool)
+
+        for level in range(_MAX_BISECT_DEPTH):
+            stride = S >> (level + 1)
+            n_mid = 1 << level
+            mids = (2 * np.arange(n_mid) + 1) * stride  # (n_mid,)
+            active_edge = depth > level  # (B,)
+            if not active_edge.any():
+                break
+            u = (2 * np.arange(n_mid) + 1) / (2.0 ** (level + 1))  # (n_mid,)
+
+            qa = Q[:, mids - stride]  # (B, n_mid, A)
+            qb = Q[:, mids + stride]
+            # midpoint seeds: config interpolation (cyclic-aware)
+            seeds = np.asarray(
+                _interp_config_batch(
+                    jnp.asarray(qa), jnp.asarray(qb), 0.5, self.robot._cyclic_mask
+                )
+            )
+            # midpoint workspace targets: pos lerp + quat slerp
+            targets = np.asarray(
+                _interp_point_batch(jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(u, dtype=jnp.float32))
+            )  # (B, n_mid, D)
+
+            flat_t = targets.reshape(B * n_mid, -1)
+            flat_s = seeds.reshape(B * n_mid, A)
+            qm, _conv, valid = self._ik_batch(flat_t, flat_s)
+            qm = qm.reshape(B, n_mid, A)
+            valid = valid.reshape(B, n_mid)
+
+            d_seg = np.asarray(
+                self.robot.distance_batch(jnp.asarray(qa), jnp.asarray(qb))
+            )
+            d1 = np.asarray(
+                self.robot.distance_batch(jnp.asarray(qa), jnp.asarray(qm))
+            )
+            d2 = np.asarray(
+                self.robot.distance_batch(jnp.asarray(qm), jnp.asarray(qb))
+            )
+            level_ok = valid & (d1 <= deviation * d_seg) & (d2 <= deviation * d_seg)
+            fail = active_edge & ~level_ok.all(axis=1)
+            ok &= ~fail
+            Q[:, mids] = qm
+        return ok[:B_real]
+
+    def is_continuous(self, q1, q2, p1, p2):
+        """Single-pair continuity (``solver.py:304-319`` signature)."""
+        return bool(self.is_continuous_batch(q1, q2, p1, p2)[0])
+
+    def check_connections(self, nodes):
+        """Re-test all edges incident to ``nodes`` whose both endpoints are
+        configured (``check_neighbor_connection``, ``solver.py:284-302``)."""
+        ws = self.workspace
+        todo = set()
+        for i in nodes:
+            if not self.has_config[i]:
+                continue
+            for j in ws.adjacency[i]:
+                if self.has_config[j]:
+                    todo.add((min(i, j), max(i, j)))
+        if not todo:
+            return
+        pairs = np.asarray(sorted(todo), dtype=np.int64)
+        cont = self.is_continuous_batch(
+            self.configs[pairs[:, 0]],
+            self.configs[pairs[:, 1]],
+            ws.points[pairs[:, 0]],
+            ws.points[pairs[:, 1]],
+        )
+        for (i, j), c in zip(pairs, cont):
+            self.edge_connected[self._edge_index[(int(i), int(j))]] = c
+
+    # ------------------------------------------------------------------
+    # expansion (solver.py:69-225)
+    # ------------------------------------------------------------------
+    def initialize_from_configs(self, seed_configs, verbose=True):
+        """Seed the roadmap (``solver.py:165-225``): FK each seed config,
+        snap to the nearest workspace node, IK from the seed, assign."""
+        ws = self.workspace
+        seeds = np.asarray(seed_configs, dtype=np.float32)
+        points = np.asarray(self.robot.fk_point_batch(seeds))
+        if ws.points.shape[1] == 3:
+            points = points[:, :3]
+        start_nodes = ws.get_workspace_neighbors(points, k=1)[:, 0]
+        targets = ws.points[start_nodes]
+        q, conv, valid = self._ik_batch(targets, seeds)
+        ok = conv & valid
+        start_neighbors = set()
+        n_valid = 0
+        for b, node in enumerate(start_nodes):
+            if not ok[b]:
+                if verbose:
+                    print(f"Cannot start with configuration {b}")
+                continue
+            self.configs[node] = q[b]
+            self.has_config[node] = True
+            n_valid += 1
+            self.check_connections([int(node)])
+            start_neighbors.update(ws.adjacency[int(node)])
+        if verbose:
+            print(f"Valid start configurations: {n_valid}/{len(seeds)}")
+        return start_neighbors
+
+    def global_expansion(self, seed_configs, k_layers=4, verbose=True):
+        """BFS expansion (``solver.py:69-163``) in batched waves."""
+        start_neighbors = self.initialize_from_configs(seed_configs, verbose)
+        if not start_neighbors:
+            if verbose:
+                print("No valid start configurations")
+            return
+
+        ws = self.workspace
+        sweep = 0
+        while True:
+            updated = False
+            # Greedy frontier: every unconfigured node with a configured
+            # node within k_layers solves in ONE batched dispatch per pass.
+            # (Strict per-level BFS — the reference's FIFO order — advances
+            # only 1-2 nodes per batch on chain-shaped arc roadmaps, paying
+            # dispatch latency ~n/2 times; the outer repeat-until-stable
+            # loop makes the final assignment insensitive to this order,
+            # same as the reference's own re-expansion loop.)
+            while True:
+                todo = [
+                    i
+                    for i in range(ws.num_nodes)
+                    if not self.has_config[i]
+                    and any(
+                        self.has_config[j]
+                        for j in self._k_layer_neighbors(i, k_layers)
+                    )
+                ]
+                if not todo:
+                    break
+                q, ok = self.project_neighbors_batch(todo, k_layers)
+                assigned = []
+                for b, i in enumerate(todo):
+                    if ok[b]:
+                        self.configs[i] = q[b]
+                        self.has_config[i] = True
+                        assigned.append(i)
+                if not assigned:
+                    break
+                updated = True
+                self.check_connections(assigned)
+            sweep += 1
+            if verbose:
+                print(
+                    f"sweep {sweep}: {int(self.has_config.sum())}/"
+                    f"{ws.num_nodes} configured, "
+                    f"{int(self.edge_connected.sum())}/{len(ws.edges)} connected"
+                )
+            if not updated:
+                break
+
+    # ------------------------------------------------------------------
+    # boundary repair (solver.py:400-493)
+    # ------------------------------------------------------------------
+    def fix_boundary(self, n_neighbor_layer=1, n_iter=5, verbose=True):
+        """Destruct-and-rebuild repair of discontinuous boundaries."""
+        ws = self.workspace
+        for _ in range(n_iter):
+            boundary = set()
+            for e, (i, j) in enumerate(ws.edges):
+                if (
+                    not self.edge_connected[e]
+                    and self.has_config[i]
+                    and self.has_config[j]
+                ):
+                    boundary.add(int(i))
+                    boundary.add(int(j))
+            if not boundary:
+                if verbose:
+                    print("No discontinuous nodes anymore")
+                return
+            if verbose:
+                print(f"Discontinuous nodes: {len(boundary)}")
+
+            # BFS levels outward from the boundary
+            levels = [sorted(boundary)]
+            seen = set(boundary)
+            for _l in range(n_neighbor_layer - 1):
+                nxt = set()
+                for i in levels[-1]:
+                    for j in ws.adjacency[i]:
+                        if j not in seen and self.has_config[j]:
+                            nxt.add(j)
+                seen |= nxt
+                if not nxt:
+                    break
+                levels.append(sorted(nxt))
+
+            # destruct
+            old_config = {}
+            for lv in levels:
+                for i in lv:
+                    for j in ws.adjacency[i]:
+                        key = (min(i, j), max(i, j))
+                        self.edge_connected[self._edge_index[key]] = False
+                    old_config[i] = self.configs[i].copy()
+                    self.has_config[i] = False
+
+            # rebuild outer-first
+            for lv in levels[::-1]:
+                q, ok = self.project_neighbors_batch(lv, 4)
+                assigned = []
+                for b, i in enumerate(lv):
+                    if ok[b]:
+                        self.configs[i] = q[b]
+                        self.has_config[i] = True
+                        assigned.append(i)
+                if assigned:
+                    self.check_connections(assigned)
+
+            # restore any still-unassigned nodes
+            restored = []
+            for lv in levels:
+                for i in lv:
+                    if not self.has_config[i]:
+                        self.configs[i] = old_config[i]
+                        self.has_config[i] = True
+                        restored.append(i)
+            if restored:
+                self.check_connections(restored)
+
+    # ------------------------------------------------------------------
+    def build_resolution(self):
+        """Compact configured nodes into resolution arrays
+        (``solver.py:373-398``): (points, configs, edges, weights)."""
+        ws = self.workspace
+        keep = np.flatnonzero(self.has_config)
+        remap = -np.ones(ws.num_nodes, dtype=np.int64)
+        remap[keep] = np.arange(len(keep))
+        res_edges = []
+        res_w = []
+        for e, (i, j) in enumerate(ws.edges):
+            if self.edge_connected[e]:
+                res_edges.append((remap[i], remap[j]))
+                res_w.append(ws.edge_weights[e])
+        return {
+            "points": ws.points[keep],
+            "configs": self.configs[keep],
+            "edges": np.asarray(res_edges, dtype=np.int64).reshape(-1, 2),
+            "edge_weights": np.asarray(res_w, dtype=np.float32),
+        }
+
+
+# ----------------------------------------------------------------------
+# jitted helpers
+# ----------------------------------------------------------------------
+@jax.jit
+def _weighted_average_batch(pts, nbr_pts, nbr_cfg, nbr_mask, cyclic_mask):
+    """Inverse-square-distance weighted config average per node
+    (``solver.py:245-257`` + ``robot.average`` circular-mean semantics)."""
+    d = maths.se3_distance(pts[:, None, :], nbr_pts)  # (B, K)
+    d = jnp.where(nbr_mask, d, jnp.inf)
+    max_d = jnp.max(jnp.where(nbr_mask, d, -jnp.inf), axis=1, keepdims=True)
+    w = (max_d / jnp.maximum(d, 1e-9)) ** 2  # solver.py:253-254
+    w = jnp.where(nbr_mask, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
+    lin = jnp.sum(nbr_cfg * w[..., None], axis=1)
+    x = jnp.sum(w[..., None] * jnp.cos(nbr_cfg), axis=1)
+    y = jnp.sum(w[..., None] * jnp.sin(nbr_cfg), axis=1)
+    circ = jnp.arctan2(y, x)
+    return jnp.where(cyclic_mask, circ, lin)
+
+
+@jax.jit
+def _interp_config_batch(qa, qb, u, cyclic_mask):
+    lin = qa + u * (qb - qa)
+    cyc = maths.wrap_to_pi(qa + u * maths.wrap_to_pi(qb - qa))
+    return jnp.where(cyclic_mask, cyc, lin)
+
+
+@jax.jit
+def _interp_point_batch(p1, p2, u):
+    """(B, D) x (B, D) x (n_mid,) -> (B, n_mid, D) interpolated workspace
+    points (pos lerp + quat slerp)."""
+    uu = u[None, :, None]
+    pos = p1[:, None, :3] + uu * (p2[:, None, :3] - p1[:, None, :3])
+    if p1.shape[-1] > 3:
+        quat = maths.slerp(
+            jnp.broadcast_to(p1[:, None, 3:7], (p1.shape[0], u.shape[0], 4)),
+            jnp.broadcast_to(p2[:, None, 3:7], (p1.shape[0], u.shape[0], 4)),
+            u[None, :, None],
+        )
+        return jnp.concatenate([pos, quat], axis=-1)
+    return pos

@@ -1,0 +1,150 @@
+"""On-device synthetic RGBD rendering (point-splat z-buffer).
+
+Replaces the PyBullet-rendered wrist camera of the reference
+(``bullet_camera.py:48-85``: 640x480 look-at renders of the scene). Instead
+of a CPU rasterizer, the object mesh is pre-sampled into a dense surface
+point set once, and each frame is a fully-vectorized project + scatter-min
+z-buffer on device — so the whole scan-plan-capture loop can run on TPU.
+
+Fidelity note: splatting approximates coverage (no exact triangle
+rasterization); with the default ~40 samples/pixel on the object the depth
+maps are complete and metric. Unlike the reference's sim camera — which
+destroyed metric depth by saving the OpenGL depth buffer as scaled uint8
+PNGs (``bullet_camera.py:83-85``, SURVEY §6 quirk) — depths here are metric
+float millimeters, matching what the real-robot path records.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reconplan_tpu.io.meshio import load_mesh, sample_mesh_surface
+
+
+def camera_look_at(eye, target, up=(0.0, 0.0, 1.0)):
+    """cam->world pose with OpenCV pinhole axes (z forward, y down),
+    matching PyBullet's computeViewMatrix(eye, target, up) geometry
+    (``bullet_camera.py:59-62``)."""
+    eye = np.asarray(eye, dtype=np.float64)
+    target = np.asarray(target, dtype=np.float64)
+    up = np.asarray(up, dtype=np.float64)
+    z = target - eye
+    z = z / np.linalg.norm(z)
+    x = np.cross(z, up)
+    n = np.linalg.norm(x)
+    if n < 1e-9:  # looking straight along up
+        x = np.cross(z, np.array([1.0, 0.0, 0.0]))
+        n = np.linalg.norm(x)
+    x = x / n
+    y = np.cross(z, x)
+    T = np.eye(4)
+    T[:3, 0], T[:3, 1], T[:3, 2], T[:3, 3] = x, y, z, eye
+    return T.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def splat_depth_color(
+    points,  # (N, 3) world
+    colors,  # (N, 3) [0, 1]
+    T_world_to_cam,  # (4, 4)
+    fx, fy, cx, cy,
+    height: int,
+    width: int,
+    near: float = 0.05,
+    far: float = 5.0,
+):
+    """Render one RGBD frame by z-buffered point splatting.
+
+    Returns (depth (H, W) meters with 0 = no hit, color (H, W, 3)).
+    """
+    R = T_world_to_cam[:3, :3]
+    t = T_world_to_cam[:3, 3]
+    cam = jnp.matmul(points, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    z = cam[:, 2]
+    u = jnp.round(cam[:, 0] / z * fx + cx).astype(jnp.int32)
+    v = jnp.round(cam[:, 1] / z * fy + cy).astype(jnp.int32)
+    ok = (z > near) & (z < far) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    flat = jnp.where(ok, v * width + u, height * width)  # overflow slot
+
+    # z-buffer: scatter-min of depth per pixel (+1 dummy slot)
+    zbuf = jnp.full(height * width + 1, jnp.inf)
+    zbuf = zbuf.at[flat].min(jnp.where(ok, z, jnp.inf))
+
+    # color pass: a point wins its pixel if its z matches the buffer
+    won = ok & (z <= zbuf[flat] * (1.0 + 1e-4))
+    cbuf = jnp.zeros((height * width + 1, 3))
+    wbuf = jnp.zeros(height * width + 1)
+    cbuf = cbuf.at[flat].add(jnp.where(won[:, None], colors, 0.0))
+    wbuf = wbuf.at[flat].add(won.astype(jnp.float32))
+    color = cbuf[: height * width] / jnp.maximum(wbuf[: height * width, None], 1.0)
+
+    depth = zbuf[: height * width]
+    depth = jnp.where(jnp.isinf(depth), 0.0, depth)
+    return depth.reshape(height, width), color.reshape(height, width, 3)
+
+
+class SplatCamera:
+    """Simulated RGBD camera over a static scene of meshes.
+
+    Drop-in for the reference's ``bullet_camera.Camera``: construct with a
+    scene, call :meth:`take_picture` with an eye position and look-at
+    target; depth comes back metric (mm) like the real RealSense path.
+    """
+
+    def __init__(self, width=640, height=480, fx=615.67, fy=615.96,
+                 cx=326.06, cy=240.56, samples_per_mesh=1_500_000, seed=0):
+        self.width, self.height = width, height
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self._points = np.zeros((0, 3), np.float32)
+        self._colors = np.zeros((0, 3), np.float32)
+        self._samples = samples_per_mesh
+        self._seed = seed
+
+    @property
+    def intrinsics(self):
+        return (self.fx, self.fy, self.cx, self.cy)
+
+    def add_mesh(self, vertices, faces, translate=(0, 0, 0), color=None,
+                 samples=None):
+        """Add a mesh to the scene (pre-sampled into surface splats).
+        ``color=None`` shades by normal (lambertian, light from +z)."""
+        pts, nrm = sample_mesh_surface(
+            vertices, faces, samples or self._samples, seed=self._seed
+        )
+        pts = pts + np.asarray(translate, dtype=np.float64)
+        if color is None:
+            lam = np.clip(nrm @ np.array([0.3, 0.2, 0.93]), 0.15, 1.0)
+            cols = np.stack([lam * 0.9, lam * 0.8, lam * 0.2], axis=-1)  # banana-ish
+        else:
+            cols = np.broadcast_to(np.asarray(color, dtype=np.float64), pts.shape)
+        self._points = np.concatenate([self._points, pts.astype(np.float32)])
+        self._colors = np.concatenate([self._colors, cols.astype(np.float32)])
+        return self
+
+    def add_mesh_file(self, path, **kwargs):
+        v, f = load_mesh(path)
+        return self.add_mesh(v, f, **kwargs)
+
+    def take_picture(self, eye, target):
+        """Render from ``eye`` looking at ``target``.
+
+        Returns (depth_mm (H, W) float32, color_uint8 (H, W, 3),
+        T_cam_to_world (4, 4)) — depth in millimeters (depth_scale 1000)
+        to match the stitcher/fusion default.
+        """
+        T_c2w = camera_look_at(eye, target)
+        T_w2c = np.linalg.inv(T_c2w).astype(np.float32)
+        depth, color = splat_depth_color(
+            jnp.asarray(self._points),
+            jnp.asarray(self._colors),
+            jnp.asarray(T_w2c),
+            self.fx, self.fy, self.cx, self.cy,
+            self.height, self.width,
+        )
+        depth_mm = np.asarray(depth) * 1000.0
+        color_u8 = (np.clip(np.asarray(color), 0, 1) * 255).astype(np.uint8)
+        return depth_mm.astype(np.float32), color_u8, T_c2w

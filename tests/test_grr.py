@@ -1,0 +1,263 @@
+"""Expansion-GRR tests: workspace sampling, solver expansion, online solve.
+
+The reference has no tests; these encode its *measured* semantics
+(SURVEY.md §4 strategy): roadmap-quality metrics as regression values,
+golden-formula checks for the arc construction, and behavior tests for the
+solve() mode logic including its quirks.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from reconplan_tpu.core import maths
+from reconplan_tpu.grr import (
+    RedundancyResolution,
+    arc_interpolate,
+    evaluate_roadmap,
+    get_arc_path,
+    get_linear_path,
+    linear_interpolate,
+)
+from reconplan_tpu.grr.paths import scan_arc
+from reconplan_tpu.io.config import load_problem
+from reconplan_tpu.kin import UR10
+
+
+@pytest.fixture(scope="module")
+def ur10():
+    opts = load_problem("ur10", "rot_free")
+    return UR10(
+        opts["robot_name"], opts["domain"], opts["rotation_domain"],
+        opts["fixed_rotation"],
+    )
+
+
+@pytest.fixture(scope="module")
+def small_roadmap(ur10):
+    """A small built roadmap shared by the expansion/solve tests."""
+    opts = load_problem("ur10", "rot_free")
+    res = RedundancyResolution(ur10)
+    res.sample_workspace([0.75, 0.75, 0.0], 40, 1, "random")
+    res.global_expansion(np.asarray(opts["init_configs"], dtype=np.float32))
+    res.build_resolution_graph_and_nn()
+    return res
+
+
+class TestPaths:
+    def test_scan_arc_matches_reference_formula(self):
+        """Replicate main.py:68-136 arc geometry in numpy and compare."""
+        from scipy.spatial.transform import Rotation as R
+
+        obj = [0.75, 0.75, 0.0]
+        n = 10
+        arc = scan_arc(obj, radius=0.3, height=0.15, num_points=n)
+        t = np.linspace(0, np.pi, n)
+        x = obj[0] - 0.15 * np.cos(np.pi / 4) + 0.3 * np.cos(t) * np.cos(3 * np.pi / 4)
+        y = obj[1] - 0.15 * np.cos(np.pi / 4) + 0.3 * np.cos(t) * np.sin(3 * np.pi / 4)
+        z = 0.15 + obj[2] + 0.3 * np.sin(t)
+        np.testing.assert_allclose(arc[:, 0], x, atol=1e-6)
+        np.testing.assert_allclose(arc[:, 1], y, atol=1e-6)
+        np.testing.assert_allclose(arc[:, 2], z, atol=1e-6)
+        # orientation: look-at construction of main.py:107-127
+        for i in [0, n // 2, n - 1]:
+            v = np.asarray(obj) - arc[i, :3]
+            z_axis = v / np.linalg.norm(v)
+            arbit = np.array([1, 0, 0]) if not np.allclose(z_axis, [1, 0, 0]) else np.array([0, 1, 0])
+            x_axis = np.cross(arbit, z_axis)
+            x_axis /= np.linalg.norm(x_axis)
+            y_axis = np.cross(z_axis, x_axis)
+            rm = np.column_stack((x_axis, y_axis, z_axis)).T
+            e = R.from_matrix(rm).as_euler("ZYX")
+            expected = R.from_euler("ZYX", [0, e[1], e[2]]).as_quat()
+            assert abs(np.dot(arc[i, 3:7], expected)) > 1 - 1e-5
+
+    def test_linear_interpolate(self):
+        start = np.array([0, 0, 0, 0, 0, 0, 1], dtype=np.float64)
+        goal = np.array([1, 2, 3, 0, 0, np.sin(0.5), np.cos(0.5)], dtype=np.float64)
+        mid = linear_interpolate(start, goal, 0.5)
+        np.testing.assert_allclose(mid[:3], [0.5, 1.0, 1.5], atol=1e-6)
+        # slerp halfway: rotation angle about z is half
+        ang = 2 * np.arctan2(mid[5], mid[6])
+        assert ang == pytest.approx(0.5, abs=1e-5)
+
+    def test_arc_interpolate_rotates_about_axis(self):
+        # point at (1,0,0), axis through origin along z, rotate pi/2
+        start = np.array([1.0, 0, 0])
+        axis = np.array([0, 0, 0, 0, 0, np.pi / 2])
+        out = arc_interpolate(start, axis, 1.0)
+        np.testing.assert_allclose(out, [0, 1, 0], atol=1e-6)
+        # u=0.5 -> 45 degrees
+        out = arc_interpolate(start, axis, 0.5)
+        np.testing.assert_allclose(out, [np.sqrt(0.5), np.sqrt(0.5), 0], atol=1e-6)
+
+    def test_path_generators_timestamps(self):
+        path = get_linear_path(np.zeros(3), np.ones(3), 4.0, 5)
+        assert len(path) == 5
+        assert path[0][0] == 0.0 and path[-1][0] == 4.0
+        arc = get_arc_path(np.array([1.0, 0, 0]), np.array([0, 0, 0, 0, 0, np.pi]), 2.0, 5)
+        assert arc[-1][0] == 2.0
+        np.testing.assert_allclose(arc[-1][1], [-1, 0, 0], atol=1e-6)
+
+
+class TestWorkspace:
+    def test_arc_workspace_connectivity(self, ur10):
+        res = RedundancyResolution(ur10)
+        res.sample_workspace([0.75, 0.75, 0.0], 30, 1, "random")
+        ws = res.workspace
+        assert ws.num_nodes == 30
+        assert ws.points.shape == (30, 7)
+        # k = n_rot*3-1 = 2 neighbors per node -> chain-ish graph
+        deg = np.zeros(30)
+        for i, j in ws.edges:
+            deg[i] += 1
+            deg[j] += 1
+        assert deg.min() >= 2
+        # edges connect arc-adjacent nodes (chain): every node i has i+-1
+        adj_pairs = {tuple(e) for e in ws.edges}
+        for i in range(29):
+            assert (i, i + 1) in adj_pairs
+
+    def test_neighbor_query_exact(self, ur10):
+        res = RedundancyResolution(ur10)
+        res.sample_workspace([0.75, 0.75, 0.0], 25, 1, "random")
+        ws = res.workspace
+        # query with an exact node point: nearest must be itself
+        idx = ws.get_workspace_neighbors(ws.points[7], k=3)
+        assert idx[0] == 7
+
+    def test_grid_workspace(self, ur10):
+        res = RedundancyResolution(ur10)
+        res.sample_workspace(None, 27, 4, "grid")
+        ws = res.workspace
+        assert ws.points.shape[1] == 7
+        assert len(ws.edges) > 0
+        # product structure: N = n_pos_actual * n_rot
+        assert ws.num_nodes % 4 == 0
+
+    def test_workspace_npz_roundtrip(self, ur10, tmp_path):
+        res = RedundancyResolution(ur10)
+        res.sample_workspace([0.75, 0.75, 0.0], 20, 1, "random")
+        p = str(tmp_path / "ws.npz")
+        res.workspace.save(p)
+        from reconplan_tpu.grr.workspace import RoadmapWorkspace
+
+        ws2 = RoadmapWorkspace(ur10).load(p)
+        np.testing.assert_array_equal(ws2.points, res.workspace.points)
+        np.testing.assert_array_equal(ws2.edges, res.workspace.edges)
+
+
+class TestExpansion:
+    def test_expansion_configures_roadmap(self, small_roadmap):
+        res = small_roadmap
+        m = evaluate_roadmap(res, verbose=False)
+        assert m["n_configured"] >= 0.8 * m["n_nodes"], m
+        assert m["disconnection_ratio"] < 25.0, m
+
+    def test_resolution_configs_satisfy_fk(self, small_roadmap):
+        """Every resolution node's config must FK onto its workspace point."""
+        res = small_roadmap
+        robot = res.robot
+        if len(res.points) == 0:
+            pytest.skip("no configured nodes")
+        ee = np.asarray(robot.fk_point_batch(res.configs))
+        pos_err = np.linalg.norm(ee[:, :3] - res.points[:, :3], axis=-1)
+        assert np.quantile(pos_err, 0.9) < 5e-3, pos_err.max()
+
+    def test_continuity_check_basics(self, small_roadmap):
+        res = small_roadmap
+        solver = res.solver
+        robot = res.robot
+        q = res.configs[0]
+        p = res.points[0]
+        # a config is trivially continuous with itself
+        assert solver.is_continuous(q, q, p, p)
+
+    def test_resolution_npz_roundtrip(self, small_roadmap, tmp_path):
+        res = small_roadmap
+        p = str(tmp_path / "res.npz")
+        res.save_resolution_graph(p)
+        res2 = RedundancyResolution(res.robot)
+        res2.load_resolution_graph(p)
+        np.testing.assert_array_equal(res2.configs, res.configs)
+        np.testing.assert_array_equal(res2.edges, res.edges)
+
+
+class TestSolve:
+    def test_tracking_mode_uses_joint_closest_seed(self, small_roadmap):
+        """With curr_config given, solve() must seed from the joint-space
+        closest neighbor (resolution.py:299-330) and track continuously."""
+        res = small_roadmap
+        arc = scan_arc([0.75, 0.75, 0.0], num_points=8)
+        curr = None
+        solved = []
+        for p in arc:
+            q = res.solve(list(p), curr_config=curr, none_on_fail=True)
+            if q is not None:
+                if curr is not None:
+                    # tracking: consecutive configs stay close
+                    assert res.robot.distance(curr, q) < 1.5
+                curr = q
+                solved.append(q)
+        assert len(solved) >= 5
+
+    def test_solved_configs_reach_targets(self, small_roadmap):
+        res = small_roadmap
+        arc = scan_arc([0.75, 0.75, 0.0], num_points=6)
+        for p in arc[:3]:
+            q = res.solve(list(p), none_on_fail=True)
+            if q is None:
+                continue
+            ee = np.asarray(res.robot.fk_point_batch(q[None]))[0]
+            assert np.linalg.norm(ee[:3] - p[:3]) < 5e-3
+
+    def test_regular_ik_shortcircuit(self, small_roadmap):
+        res = small_roadmap
+        arc = scan_arc([0.75, 0.75, 0.0], num_points=4)
+        seed = res.configs[0]
+        q = res.solve(list(arc[0]), curr_config=seed, regular_ik=True,
+                      none_on_fail=True)
+        # regular IK from a roadmap config near the arc should succeed
+        if q is not None:
+            ee = np.asarray(res.robot.fk_point_batch(q[None]))[0]
+            assert np.linalg.norm(ee[:3] - arc[0, :3]) < 5e-3
+
+    def test_nearest_node_only(self, small_roadmap):
+        res = small_roadmap
+        p = res.points[3]
+        q = res.solve(list(p), nearest_node_only=True)
+        np.testing.assert_allclose(q, res.configs[3], atol=1e-6)
+
+    def test_track_array_codes(self, small_roadmap):
+        """TrackArray diagnostics: cold start on an exact node -> 0 or 2;
+        tracking -> the min joint distance (resolution.py:281,317,322)."""
+        res = small_roadmap
+        ta = []
+        res.solve(list(res.points[2]), none_on_fail=True, TrackArray=ta)
+        assert ta[0] in (0, 2)
+        ta2 = []
+        res.solve(
+            list(res.points[2]), curr_config=res.configs[2],
+            none_on_fail=True, TrackArray=ta2,
+        )
+        assert ta2[0] == pytest.approx(0.0, abs=1e-5)
+
+    def test_plan_on_roadmap(self, small_roadmap):
+        res = small_roadmap
+        if len(res.points) < 5:
+            pytest.skip("roadmap too small")
+        c_path, w_path = res.plan(res.points[0], res.points[4], interpolation=2)
+        assert len(c_path) >= 2
+        # path endpoints reach the goal
+        ee = np.asarray(res.robot.fk_point_batch(np.asarray(c_path[-1])[None]))[0]
+        assert np.linalg.norm(ee[:3] - res.points[4][:3]) < 1e-2
+
+
+class TestQuality:
+    def test_metrics_formulas(self, small_roadmap):
+        m = evaluate_roadmap(small_roadmap, verbose=False)
+        assert 0 <= m["disconnection_ratio"] <= 100
+        assert m["distance_ratio"] > 0

@@ -179,3 +179,45 @@ class TestMarchingCubes:
         grid = tsdf_ops.make_grid((16, 16, 16), (0, 0, 0), 0.01)
         tris = marching_cubes(grid)
         assert len(tris) == 0
+
+
+class TestBrickEngine:
+    """Brick-sparse pallas engine (interpret mode on CPU) vs dense XLA."""
+
+    def test_brick_layout_roundtrip(self):
+        from reconplan_tpu.ops import tsdf_brick as tb
+
+        rng = np.random.default_rng(0)
+        sdf = rng.normal(size=(16, 16, 32)).astype(np.float32)
+        w = rng.uniform(size=(16, 16, 32)).astype(np.float32)
+        g = tb.from_dense(jnp.asarray(sdf), jnp.asarray(w), (0, 0, 0), 0.01, 0.05)
+        sdf2, w2 = tb.to_dense(g)
+        np.testing.assert_array_equal(np.asarray(sdf2), sdf)
+        np.testing.assert_array_equal(np.asarray(w2), w)
+
+    def test_brick_matches_dense_integration(self):
+        from reconplan_tpu.ops import tsdf_brick as tb
+
+        # frames must be at least the kernel's (WIN_H, WIN_W) = (64, 256)
+        depths, poses, K = make_sphere_depths(n_views=2, H=128, W=256,
+                                              fx=120.0, fy=120.0)
+        fx, fy, cx, cy = K
+        dims = (32, 32, 32)
+        vox = 0.3 / 31
+        bg = tb.make_brick_grid(dims, (-0.15, -0.15, -0.15), vox)
+        bg, n_active = tb.integrate_frames_bricked(
+            bg, depths, poses, fx, fy, cx, cy,
+            dilate_active=False, interpret=True,
+        )
+        assert n_active > 0
+        dense = tsdf_ops.make_grid(dims, (-0.15, -0.15, -0.15), vox)
+        dense = tsdf_ops.integrate_frames(
+            dense, jnp.asarray(depths), jnp.asarray(poses), fx, fy, cx, cy
+        )
+        sdf_b, w_b = tb.to_dense(bg)
+        both = (np.asarray(w_b) > 0) & (np.asarray(dense.weight) > 0)
+        assert both.sum() > 100
+        diff = np.abs(np.asarray(sdf_b) - np.asarray(dense.sdf))[both]
+        # window-coverage differences can mask a few observations; the
+        # overwhelming majority must match exactly
+        assert np.quantile(diff, 0.99) < 1e-6, (diff.max(), np.quantile(diff, 0.99))
