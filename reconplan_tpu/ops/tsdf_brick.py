@@ -218,80 +218,96 @@ def _integrate_kernel(
     sdf = sdf_ref[0]
     w = w_ref[0]
 
-    for f in range(F):  # static unroll over frames
-        r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
-        r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
-        r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
+    # padding entries map to the scratch brick; their compute is skipped
+    # entirely via lax.cond (at max_active >> n_active the dummy programs
+    # dominated runtime: 32768-brick dispatches ran 5.7x slower than the
+    # active 5.6k bricks warranted)
+    n_bricks_total = bd * bh * bw
+    is_real = bid < n_bricks_total
 
-        # window origin from the brick-center projection (scalar math)
-        ccx = r00 * cxw + r01 * cyw + r02 * czw + t0
-        ccy = r10 * cxw + r11 * cyw + r12 * czw + t1
-        ccz = r20 * cxw + r21 * cyw + r22 * czw + t2
-        ccz = jnp.maximum(ccz, 1e-3)
-        uc = ccx / ccz * fx + cx
-        vc = ccy / ccz * fy + cy
-        # tile-aligned window origins with guaranteed +-64 / +-28 coverage;
-        # pl.multiple_of tells the Mosaic prover the DMA slice is tiled
-        u0 = jnp.clip(
-            ((jnp.round(uc).astype(jnp.int32) - 64) // 128) * 128, 0, Wd - WIN_W
-        )
-        v0 = jnp.clip(
-            ((jnp.round(vc).astype(jnp.int32) - 28) // 8) * 8, 0, Hd - WIN_H
-        )
-        u0 = pl.multiple_of(u0, 128)
-        v0 = pl.multiple_of(v0, 8)
+    def _integrate_all_frames(args):
+        sdf, w = args
+        for f in range(F):  # static unroll over frames
+            r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
+            r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
+            r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
 
-        # voxel projections (vectors)
-        x = r00 * wx + r01 * wy + r02 * wz + t0
-        y = r10 * wx + r11 * wy + r12 * wz + t1
-        z = r20 * wx + r21 * wy + r22 * wz + t2
-        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
-        u = x / zs * fx + cx
-        v = y / zs * fy + cy
-        ui = jnp.round(u).astype(jnp.int32)
-        vi = jnp.round(v).astype(jnp.int32)
-        ul = ui - u0
-        vl = vi - v0
-        in_win = (ul >= 0) & (ul < WIN_W) & (vl >= 0) & (vl < WIN_H)
-        in_img = (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd) & (z > 1e-4)
-        ok = in_win & in_img
-        ul = jnp.clip(ul, 0, WIN_W - 1)
-
-        # dynamic-slice load of the window straight out of the resident
-        # VMEM frame (no DMA in the brick loop — the per-(brick, frame)
-        # async-copy variant was DMA-latency bound at ~12 us/brick-frame)
-        win = depths_ref[f, pl.ds(v0, WIN_H), pl.ds(u0, WIN_W)]
-
-        # depth sample: per-row lane gathers (two 128-lane chunks) + row
-        # select. tpu.dynamic_gather only spans one vreg (128 lanes) along
-        # the gather dim, hence the lo/hi chunk split. (A predicated
-        # row-skip variant using a VMEM accumulator measured 2.5x SLOWER
-        # than this register-accumulating unrolled loop — pl.when regions
-        # forced memory round-trips per row.)
-        ul_lo = jnp.clip(ul, 0, 127)
-        ul_hi = jnp.clip(ul - 128, 0, 127)
-        use_hi = ul >= 128
-        d = jnp.zeros_like(sdf)
-        for r in range(WIN_H):
-            row_lo = jnp.broadcast_to(win[r, :128], (BRICK_Z, BRICK_Y * BRICK_X))
-            row_hi = jnp.broadcast_to(win[r, 128:], (BRICK_Z, BRICK_Y * BRICK_X))
-            g = jnp.where(
-                use_hi,
-                jnp.take_along_axis(row_hi, ul_hi, axis=1),
-                jnp.take_along_axis(row_lo, ul_lo, axis=1),
+            # window origin from the brick-center projection (scalar math)
+            ccx = r00 * cxw + r01 * cyw + r02 * czw + t0
+            ccy = r10 * cxw + r11 * cyw + r12 * czw + t1
+            ccz = r20 * cxw + r21 * cyw + r22 * czw + t2
+            ccz = jnp.maximum(ccz, 1e-3)
+            uc = ccx / ccz * fx + cx
+            vc = ccy / ccz * fy + cy
+            # tile-aligned window origins with guaranteed +-64 / +-28 coverage;
+            # pl.multiple_of tells the Mosaic prover the DMA slice is tiled
+            u0 = jnp.clip(
+                ((jnp.round(uc).astype(jnp.int32) - 64) // 128) * 128, 0, Wd - WIN_W
             )
-            d = jnp.where(vl == r, g, d)
+            v0 = jnp.clip(
+                ((jnp.round(vc).astype(jnp.int32) - 28) // 8) * 8, 0, Hd - WIN_H
+            )
+            u0 = pl.multiple_of(u0, 128)
+            v0 = pl.multiple_of(v0, 8)
 
-        d = d / depth_scale
-        ok = ok & (d > 0.0) & (d < depth_max)
-        sdf_obs = d - z
-        ok = ok & (sdf_obs > -trunc)
-        tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
-        w_obs = ok.astype(jnp.float32)
-        w_new = w + w_obs
-        sdf = (sdf * w + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
-        sdf = jnp.where(w_new > 0, sdf, 1.0)
-        w = jnp.minimum(w_new, max_weight)
+            # voxel projections (vectors)
+            x = r00 * wx + r01 * wy + r02 * wz + t0
+            y = r10 * wx + r11 * wy + r12 * wz + t1
+            z = r20 * wx + r21 * wy + r22 * wz + t2
+            zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+            u = x / zs * fx + cx
+            v = y / zs * fy + cy
+            ui = jnp.round(u).astype(jnp.int32)
+            vi = jnp.round(v).astype(jnp.int32)
+            ul = ui - u0
+            vl = vi - v0
+            in_win = (ul >= 0) & (ul < WIN_W) & (vl >= 0) & (vl < WIN_H)
+            in_img = (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd) & (z > 1e-4)
+            ok = in_win & in_img
+            ul = jnp.clip(ul, 0, WIN_W - 1)
+
+            # dynamic-slice load of the window straight out of the resident
+            # VMEM frame (no DMA in the brick loop — the per-(brick, frame)
+            # async-copy variant was DMA-latency bound at ~12 us/brick-frame)
+            win = depths_ref[f, pl.ds(v0, WIN_H), pl.ds(u0, WIN_W)]
+
+            # depth sample: per-row lane gathers (two 128-lane chunks) + row
+            # select. tpu.dynamic_gather only spans one vreg (128 lanes) along
+            # the gather dim, hence the lo/hi chunk split. (A predicated
+            # row-skip variant using a VMEM accumulator measured 2.5x SLOWER
+            # than this register-accumulating unrolled loop — pl.when regions
+            # forced memory round-trips per row.)
+            ul_lo = jnp.clip(ul, 0, 127)
+            ul_hi = jnp.clip(ul - 128, 0, 127)
+            use_hi = ul >= 128
+            d = jnp.zeros_like(sdf)
+            for r in range(WIN_H):
+                row_lo = jnp.broadcast_to(win[r, :128], (BRICK_Z, BRICK_Y * BRICK_X))
+                row_hi = jnp.broadcast_to(win[r, 128:], (BRICK_Z, BRICK_Y * BRICK_X))
+                g = jnp.where(
+                    use_hi,
+                    jnp.take_along_axis(row_hi, ul_hi, axis=1),
+                    jnp.take_along_axis(row_lo, ul_lo, axis=1),
+                )
+                d = jnp.where(vl == r, g, d)
+
+            d = d / depth_scale
+            ok = ok & (d > 0.0) & (d < depth_max) & is_real
+            sdf_obs = d - z
+            ok = ok & (sdf_obs > -trunc)
+            tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
+            w_obs = ok.astype(jnp.float32)
+            w_new = w + w_obs
+            sdf = (sdf * w + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
+            sdf = jnp.where(w_new > 0, sdf, 1.0)
+            w = jnp.minimum(w_new, max_weight)
+
+
+        return sdf, w
+
+    sdf, w = jax.lax.cond(
+        is_real, _integrate_all_frames, lambda a: a, (sdf, w)
+    )
 
     sdf_out_ref[0] = sdf
     w_out_ref[0] = w

@@ -273,3 +273,63 @@ class TestQuality:
         m = evaluate_roadmap(small_roadmap, verbose=False)
         assert 0 <= m["disconnection_ratio"] <= 100
         assert m["distance_ratio"] > 0
+
+
+class TestNearestNeighbors:
+    """C9 parity: the GNAT-interface dense engine."""
+
+    def test_dense_topk_interface(self):
+        from reconplan_tpu.grr.nearest_neighbors import DenseTopK
+
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(50, 4))
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        pts = np.concatenate([rng.normal(size=(50, 3)), q], -1).astype(np.float32)
+        nn = DenseTopK()
+        nn.add_list(pts)
+        assert nn.size() == 50
+        # nearest of an existing point is itself
+        assert nn.nearest(pts[7]) == 7
+        ids, dists = nn.nearest_k(pts[3], 5)
+        assert ids[0] == 3 and dists[0] < 1e-5
+        # removal masks the point out
+        nn.remove(7)
+        assert nn.nearest(pts[7]) != 7
+        assert nn.size() == 49
+        # radius query is sorted and within r
+        ids, dists = nn.nearest_r(pts[0], 1.0)
+        assert all(d <= 1.0 for d in dists)
+        assert dists == sorted(dists)
+
+    def test_greedy_kcenters_spread(self):
+        from reconplan_tpu.grr.nearest_neighbors import GreedyKCenters
+
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+        centers, dists = GreedyKCenters().kcenters(pts, 8)
+        assert len(set(centers)) == 8
+        # centers mutually distant: min pairwise > random-pair median / 2
+        off = dists[np.triu_indices(8, 1)]
+        assert off.min() > 0.4
+
+
+class TestKinova:
+    def test_kinova_fk_ik(self):
+        from reconplan_tpu.kin import Kinova
+
+        opts = load_problem("kinova", "rot_free")
+        robot = Kinova(
+            opts["robot_name"], opts["domain"], opts["rotation_domain"],
+            opts["fixed_rotation"],
+        )
+        assert robot.num_joints == 7
+        seeds = np.asarray(opts["init_configs"], dtype=np.float32)
+        pts = np.asarray(robot.fk_point_batch(seeds))
+        assert np.isfinite(pts).all()
+        # IK re-solves an FK pose
+        q, ok = robot.solve_ik_batch(pts[:2], seeds[:2])
+        achieved = np.asarray(robot.fk_point_batch(np.asarray(q)))
+        err = np.linalg.norm(achieved[:, :3] - pts[:2, :3], axis=-1)
+        ok = np.asarray(ok)
+        assert ok.any()
+        assert err[ok].max() < 2e-3
