@@ -163,7 +163,7 @@ def _integrate_kernel(
     # scalar prefetch
     brick_ids_ref,  # (M,) int32 in SMEM
     # inputs
-    meta_ref,  # (8,) f32 in SMEM: origin xyz, voxel, trunc, max_weight, _, _
+    meta_ref,  # (8,) f32 in SMEM: origin xyz, voxel, trunc, max_weight, id_base, n_real_local
     poses_ref,  # (F, 16) f32 in SMEM (row-major w2c 4x4)
     intr_ref,  # (4,) f32 in SMEM: fx fy cx cy
     depths_ref,  # (F, Hd, Wd) f32 resident in VMEM for the whole dispatch
@@ -181,7 +181,10 @@ def _integrate_kernel(
     depth_max: float,
 ):
     i = pl.program_id(0)
-    bid = brick_ids_ref[i]
+    bid_local = brick_ids_ref[i]
+    # meta[6] = global brick-id base of this shard (0 single-chip);
+    # meta[7] = local scratch threshold (= number of real local bricks)
+    bid = bid_local + meta_ref[6].astype(jnp.int32)
     bd, bh, bw = brick_dims
     bz = bid // (bh * bw)
     by = (bid // bw) % bh
@@ -218,12 +221,11 @@ def _integrate_kernel(
     sdf = sdf_ref[0]
     w = w_ref[0]
 
-    # padding entries map to the scratch brick; their compute is skipped
-    # entirely via lax.cond (at max_active >> n_active the dummy programs
-    # dominated runtime: 32768-brick dispatches ran 5.7x slower than the
-    # active 5.6k bricks warranted)
-    n_bricks_total = bd * bh * bw
-    is_real = bid < n_bricks_total
+    # padding entries map to the (per-shard) scratch brick; their compute
+    # is skipped entirely via lax.cond (at max_active >> n_active the dummy
+    # programs dominated runtime: 32768-brick dispatches ran 5.7x slower
+    # than the active 5.6k bricks warranted)
+    is_real = bid_local.astype(jnp.float32) < meta_ref[7]
 
     def _integrate_all_frames(args):
         sdf, w = args
@@ -395,15 +397,16 @@ def _integrate_device_all(
     eager ops (each eager dispatch over the tunneled runtime costs ~10-30
     ms; the host-compacted path was spending ~0.2 s/call on that)."""
     T_w2c_all = jnp.linalg.inv(poses)
+    bd, bh, bw = brick_dims
     meta = jnp.concatenate(
         [
             origin.astype(jnp.float32),
             jnp.asarray(
-                [voxel_size, trunc, max_weight, 0.0, 0.0], dtype=jnp.float32
+                [voxel_size, trunc, max_weight, 0.0, float(bd * bh * bw)],
+                dtype=jnp.float32,
             ),
         ]
     )
-    bd, bh, bw = brick_dims
     nb_scratch = sdf_b.shape[0] - 1
     n_active = jnp.array(0, dtype=jnp.int32)
     F_all = depths.shape[0]
@@ -494,14 +497,14 @@ def integrate_frames_bricked(
     poses = jnp.asarray(poses_cam_to_world, dtype=jnp.float32)
     T_w2c_all = jnp.linalg.inv(poses)
     intr = jnp.asarray([fx, fy, cx, cy], dtype=jnp.float32)
+    bd, bh, bw = grid.brick_dims
     meta = jnp.asarray(
         [
             float(grid.origin[0]), float(grid.origin[1]), float(grid.origin[2]),
-            grid.voxel_size, grid.trunc, max_weight, 0.0, 0.0,
+            grid.voxel_size, grid.trunc, max_weight, 0.0, float(bd * bh * bw),
         ],
         dtype=jnp.float32,
     )
-    bd, bh, bw = grid.brick_dims
     nb_scratch = grid.sdf.shape[0] - 1  # scratch brick index
 
     n_active_total = 0

@@ -221,3 +221,38 @@ class TestBrickEngine:
         # window-coverage differences can mask a few observations; the
         # overwhelming majority must match exactly
         assert np.quantile(diff, 0.99) < 1e-6, (diff.max(), np.quantile(diff, 0.99))
+
+    def test_brick_sharded_matches_single_device(self):
+        """8-way brick-sharded fusion must be bit-identical to single."""
+        import jax
+
+        from reconplan_tpu.parallel.brick import (
+            gather_brick_grid,
+            make_sharded_brick_grid,
+            sharded_integrate_frames_bricked,
+        )
+        from reconplan_tpu.parallel.mesh import make_mesh
+        from reconplan_tpu.ops import tsdf_brick as tb
+
+        depths, poses, K = make_sphere_depths(n_views=2, H=128, W=256,
+                                              fx=120.0, fy=120.0)
+        fx, fy, cx, cy = K
+        dims = (32, 32, 32)
+        vox = 0.3 / 31
+        mesh = make_mesh(8)
+        g_nbl = make_sharded_brick_grid(dims, (-0.15,) * 3, vox, mesh=mesh)
+        g_nbl, na = sharded_integrate_frames_bricked(
+            g_nbl, depths, poses, fx, fy, cx, cy, mesh=mesh,
+            max_active_per_device=64, interpret=True,
+        )
+        sdf_s, w_s = tb.to_dense(gather_brick_grid(g_nbl, mesh=mesh))
+
+        bg = tb.make_brick_grid(dims, (-0.15,) * 3, vox)
+        bg, na1 = tb.integrate_frames_bricked(
+            bg, depths, poses, fx, fy, cx, cy,
+            dilate_active=False, interpret=True,
+        )
+        sdf_1, w_1 = tb.to_dense(bg)
+        assert int(na) == na1 > 0
+        np.testing.assert_array_equal(np.asarray(sdf_s), np.asarray(sdf_1))
+        np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_1))
