@@ -54,7 +54,8 @@ class RGBDStitcher:
         self.voxel_size = 0.02  # stitcher.py:17
         self.distance_threshold = 0.05  # stitcher.py:18
         self.optimization_modulus = 2  # stitcher.py:19
-        self.model_capacity = 1 << 18  # fixed device buffer for the model
+        self.model_capacity = 1 << 15  # fixed device buffer for the model
+        # (0.02 m voxels over a tabletop scene occupy ~5-20k slots)
 
     # ------------------------------------------------------------------
     def create_point_cloud_from_rgbd(self, color_img, depth_img) -> PointCloud:
@@ -101,32 +102,47 @@ class RGBDStitcher:
         return np.asarray(res.transformation), float(res.fitness)
 
     # ------------------------------------------------------------------
-    def _append_to_model(self, model: PointCloud, cloud: PointCloud, T) -> PointCloud:
-        """Transform ``cloud`` by T and append into the fixed-capacity
-        model buffer (drops points if capacity is exceeded, oldest kept)."""
-        R = jnp.asarray(T, dtype=jnp.float32)
+    def _model_append(self, model: PointCloud, cloud: PointCloud, T) -> PointCloud:
+        """Transform ``cloud`` by T and merge into the model buffer.
+
+        The model keeps a FIXED capacity: both clouds concatenate (constant
+        total shape per frame index) and a voxel downsample immediately
+        compacts back under capacity. Constant shapes mean every device
+        kernel compiles once for the whole sequence — a growing-model
+        variant recompiled downsample/normals/ICP on every frame (~75 s a
+        frame on the tunneled TPU).
+        """
+        T = jnp.asarray(T, dtype=jnp.float32)
         pts = jnp.matmul(
-            cloud.points, R[:3, :3].T, precision=jax.lax.Precision.HIGHEST
-        ) + R[:3, 3]
-        new_pts = np.concatenate([np.asarray(model.points), np.asarray(pts)])
-        new_valid = np.concatenate([np.asarray(model.valid), np.asarray(cloud.valid)])
+            cloud.points, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+        ) + T[:3, 3]
+        new_pts = jnp.concatenate([model.points, pts])
+        new_valid = jnp.concatenate([model.valid, cloud.valid])
+        new_col = None
         if model.has_colors and cloud.has_colors:
-            new_col = np.concatenate([np.asarray(model.colors), np.asarray(cloud.colors)])
-        else:
-            new_col = None
-        if len(new_pts) > self.model_capacity:
-            # keep valid points preferentially
-            order = np.argsort(~new_valid, kind="stable")[: self.model_capacity]
-            order.sort()
-            new_pts, new_valid = new_pts[order], new_valid[order]
-            if new_col is not None:
-                new_col = new_col[order]
-        return make_cloud(new_pts, colors=new_col, valid=new_valid)
+            new_col = jnp.concatenate([model.colors, cloud.colors])
+        merged = make_cloud(new_pts, colors=new_col, valid=new_valid)
+        # compact under capacity: voxel-average (the reference downsamples
+        # every optimization_modulus frames anyway, stitcher.py:151), then
+        # gather the valid slots to the front (they are scattered at voxel
+        # segment starts after the sort-based downsample)
+        merged = voxel_downsample(merged, self.voxel_size)
+        cap = self.model_capacity
+        (idx,) = jnp.nonzero(merged.valid, size=cap, fill_value=0)
+        count = jnp.sum(merged.valid)
+        valid = jnp.arange(cap) < count
+        return PointCloud(
+            merged.points[idx],
+            valid,
+            merged.colors[idx] if merged.has_colors else merged.colors,
+            merged.normals[idx] if merged.has_normals else merged.normals,
+        )
 
     def stitch_sequence(self, color_images, depth_images, poses=None) -> PointCloud:
         """Incremental frame-to-model stitching (``stitcher.py:114-166``):
-        register frame i to the merged model, transform + append, and every
-        ``optimization_modulus`` frames re-downsample and remove outliers.
+        register frame i to the merged model, transform + append + voxel
+        compaction, and every ``optimization_modulus`` frames statistical
+        outlier removal.
 
         ``poses`` (optional (F, 4, 4) cam->world) seeds each registration —
         pass robot-FK camera poses for the scan-plan-capture loop.
@@ -134,25 +150,33 @@ class RGBDStitcher:
         if len(color_images) != len(depth_images):
             raise ValueError("Number of color and depth images must match")
 
-        combined = self.create_point_cloud_from_rgbd(color_images[0], depth_images[0])
+        first = self.create_point_cloud_from_rgbd(color_images[0], depth_images[0])
         if poses is not None:
-            T0 = np.asarray(poses[0], dtype=np.float32)
-            combined = make_cloud(
-                np.asarray(combined.points) @ T0[:3, :3].T + T0[:3, 3],
-                colors=np.asarray(combined.colors) if combined.has_colors else None,
-                valid=np.asarray(combined.valid),
-            )
+            T0 = jnp.asarray(poses[0], dtype=jnp.float32)
+            pts0 = jnp.matmul(
+                first.points, T0[:3, :3].T, precision=jax.lax.Precision.HIGHEST
+            ) + T0[:3, 3]
+            first = PointCloud(pts0, first.valid, first.colors, first.normals)
+        # seed the fixed-capacity model buffer
+        cap = self.model_capacity
+        pad = max(cap - first.points.shape[0], 0)
+        combined = PointCloud(
+            jnp.pad(first.points, ((0, pad), (0, 0)))[:cap],
+            jnp.pad(first.valid, (0, pad))[:cap],
+            jnp.pad(first.colors, ((0, pad), (0, 0)))[:cap]
+            if first.has_colors
+            else first.colors,
+            first.normals,
+        )
 
         for i in range(1, len(color_images)):
             current = self.create_point_cloud_from_rgbd(color_images[i], depth_images[i])
             init = poses[i] if poses is not None else None
             T, fitness = self.register_point_clouds(current, combined, init)
-            combined = self._append_to_model(combined, current, T)
+            combined = self._model_append(combined, current, T)
 
-            if i % self.optimization_modulus == 0:  # stitcher.py:139
-                combined = voxel_downsample(combined, self.voxel_size)
-                if combined.count() > 1000:
-                    combined = remove_statistical_outliers(combined, 20, 2.0)
+            if i % self.optimization_modulus == 0 and combined.count() > 1000:
+                combined = remove_statistical_outliers(combined, 20, 2.0)
         return combined
 
     # ------------------------------------------------------------------

@@ -135,7 +135,8 @@ class TestStitcher:
         st = RGBDStitcher(PinholeIntrinsic(160, 120, 100, 100, 80, 60))
         cloud = st.stitch_sequence(colors, depths, poses=poses)
         pts, _, _ = cloud.compact()
-        assert len(pts) > 100
+        # a banana at the reference's 0.02 m model voxel occupies ~50 voxels
+        assert 30 < len(pts) < 500
         # stitched cloud sits on the banana
         assert abs(pts[:, 0].mean() - 0.75) < 0.1
         assert abs(pts[:, 1].mean() - 0.75) < 0.1
