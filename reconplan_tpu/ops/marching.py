@@ -172,6 +172,27 @@ def triangulate_cubes(grid: TSDFGrid, cube_idx: jnp.ndarray, cube_valid: jnp.nda
     M = cube_idx.shape[0]
     verts = tri_verts.reshape(M, MAX_TRIS_PER_CUBE, 3, 3)
     valid = (tri_ok & cube_valid[:, None, None]).reshape(M, MAX_TRIS_PER_CUBE)
+
+    # consistent outward winding: orient each triangle so its normal points
+    # along the local SDF gradient (toward positive/outside). The raw tet
+    # table's winding is orientation-inconsistent across complement cases.
+    gx = (
+        vals[:, [1, 2, 5, 6]].mean(axis=1) - vals[:, [0, 3, 4, 7]].mean(axis=1)
+    )
+    gy = (
+        vals[:, [2, 3, 6, 7]].mean(axis=1) - vals[:, [0, 1, 4, 5]].mean(axis=1)
+    )
+    gz = (
+        vals[:, [4, 5, 6, 7]].mean(axis=1) - vals[:, [0, 1, 2, 3]].mean(axis=1)
+    )
+    grad = jnp.stack([gx, gy, gz], axis=-1)[:, None, :]  # (M, 1, 3)
+    n = jnp.cross(
+        verts[:, :, 1] - verts[:, :, 0], verts[:, :, 2] - verts[:, :, 0]
+    )  # (M, T, 3)
+    flip = jnp.sum(n * grad, axis=-1) < 0  # (M, T)
+    v1 = jnp.where(flip[..., None], verts[:, :, 2], verts[:, :, 1])
+    v2 = jnp.where(flip[..., None], verts[:, :, 1], verts[:, :, 2])
+    verts = jnp.stack([verts[:, :, 0], v1, v2], axis=2)
     return verts, valid
 
 

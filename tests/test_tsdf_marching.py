@@ -175,6 +175,25 @@ class TestMarchingCubes:
         r = np.linalg.norm(verts, axis=-1)
         assert np.abs(r - 0.1).max() < 0.35 * vox, np.abs(r - 0.1).max()
 
+    def test_winding_outward_consistent(self):
+        """Triangle normals must point outward (along the SDF gradient)."""
+        n = 48
+        vox = 0.3 / (n - 1)
+        grid = tsdf_ops.make_grid((n, n, n), (-0.15,) * 3, vox, trunc=1.0)
+        zi, yi, xi = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+        coords = np.stack([xi, yi, zi], -1) * vox + np.array([-0.15] * 3)
+        sdf = np.linalg.norm(coords, axis=-1) - 0.1
+        grid = grid._replace(
+            sdf=jnp.asarray(sdf, dtype=jnp.float32),
+            weight=jnp.ones((n, n, n), jnp.float32),
+        )
+        tris = marching_cubes(grid)
+        c = tris.mean(axis=1)
+        nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        radial = c / np.linalg.norm(c, axis=-1, keepdims=True)
+        assert (np.sum(nrm * radial, -1) > 0).all()
+
     def test_empty_grid_no_triangles(self):
         grid = tsdf_ops.make_grid((16, 16, 16), (0, 0, 0), 0.01)
         tris = marching_cubes(grid)
