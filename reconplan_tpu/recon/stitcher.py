@@ -151,23 +151,26 @@ class RGBDStitcher:
             raise ValueError("Number of color and depth images must match")
 
         first = self.create_point_cloud_from_rgbd(color_images[0], depth_images[0])
-        if poses is not None:
-            T0 = jnp.asarray(poses[0], dtype=jnp.float32)
-            pts0 = jnp.matmul(
-                first.points, T0[:3, :3].T, precision=jax.lax.Precision.HIGHEST
-            ) + T0[:3, 3]
-            first = PointCloud(pts0, first.valid, first.colors, first.normals)
-        # seed the fixed-capacity model buffer
+        # seed the fixed-capacity model buffer by merging the first frame
+        # into an empty buffer through the same voxel-compaction path
+        # (a direct slice-to-capacity would truncate the 307k-pixel frame
+        # to its first rows — the bug that broke the first iteration)
         cap = self.model_capacity
-        pad = max(cap - first.points.shape[0], 0)
+        has_col = first.has_colors
         combined = PointCloud(
-            jnp.pad(first.points, ((0, pad), (0, 0)))[:cap],
-            jnp.pad(first.valid, (0, pad))[:cap],
-            jnp.pad(first.colors, ((0, pad), (0, 0)))[:cap]
-            if first.has_colors
-            else first.colors,
-            first.normals,
+            jnp.zeros((cap, 3), dtype=jnp.float32),
+            jnp.zeros(cap, dtype=bool),
+            jnp.zeros((cap, 3), dtype=jnp.float32)
+            if has_col
+            else jnp.zeros((0, 3), dtype=jnp.float32),
+            jnp.zeros((0, 3), dtype=jnp.float32),
         )
+        T0 = (
+            jnp.asarray(poses[0], dtype=jnp.float32)
+            if poses is not None
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        combined = self._model_append(combined, first, T0)
 
         for i in range(1, len(color_images)):
             current = self.create_point_cloud_from_rgbd(color_images[i], depth_images[i])
