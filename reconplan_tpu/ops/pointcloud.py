@@ -100,13 +100,15 @@ def backproject_depth(
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "grid_extent"))
-def voxel_downsample(cloud: PointCloud, voxel_size: float, grid_extent: float = 10.0):
+def voxel_downsample(cloud: PointCloud, voxel_size: float, grid_extent=None):
     """Average points within each voxel (Open3D ``voxel_down_sample``).
 
     Exact, fixed-shape algorithm:
-      1. quantize to voxel ids packed into int32 (grid clamped to
-         ±grid_extent, giving up to 2^10 cells per axis — 20 m span at the
-         default 0.02 m stitcher voxel),
+      1. quantize to voxel ids packed into int32 (2^10 cells per axis).
+         The packable window spans ±512 voxels around the valid points'
+         centroid (auto-centered on device) unless ``grid_extent`` pins a
+         fixed ±extent around the origin; points outside the window clamp
+         into edge cells (merged conservatively),
       2. sort by id, mark segment starts, build dense segment indices with a
          cumulative sum,
       3. segment-mean positions/colors/normals into N output slots.
@@ -116,19 +118,29 @@ def voxel_downsample(cloud: PointCloud, voxel_size: float, grid_extent: float = 
     """
     n = cloud.points.shape[0]
     inv = 1.0 / voxel_size
-    # number of cells per axis (static)
-    cells = int(2 * grid_extent * inv)
-    bits = max(int(np.ceil(np.log2(max(cells, 2)))), 1)
-    if 3 * bits > 31:
-        raise ValueError(
-            f"voxel grid too fine to pack: {cells} cells/axis needs {3*bits} bits"
+    cells = 1 << 10  # 3 * 10 bits packs into int32
+    if grid_extent is not None:
+        if int(2 * grid_extent * inv) > cells:
+            raise ValueError(
+                f"grid_extent {grid_extent} too large for voxel {voxel_size}: "
+                f"needs more than {cells} cells/axis"
+            )
+        center = jnp.zeros(3, dtype=jnp.float32)
+    else:
+        w = cloud.valid.astype(jnp.float32)
+        center = jnp.sum(cloud.points * w[:, None], axis=0) / jnp.maximum(
+            jnp.sum(w), 1.0
         )
+        # snap to the voxel lattice so cell boundaries stay origin-aligned
+        # (Open3D semantics: boundaries at integer multiples of voxel_size)
+        center = jnp.round(center * inv) * voxel_size
+    half_span = (cells // 2) * voxel_size
     q = jnp.clip(
-        jnp.floor((cloud.points + grid_extent) * inv).astype(jnp.int32),
+        jnp.floor((cloud.points - center + half_span) * inv).astype(jnp.int32),
         0,
         cells - 1,
     )
-    ids = (q[:, 0] << (2 * bits)) | (q[:, 1] << bits) | q[:, 2]
+    ids = (q[:, 0] << 20) | (q[:, 1] << 10) | q[:, 2]
     # push invalid points to the end of the sort order
     ids = jnp.where(cloud.valid, ids, jnp.int32(2**31 - 1))
 

@@ -56,6 +56,9 @@ class RGBDStitcher:
         self.optimization_modulus = 2  # stitcher.py:19
         self.model_capacity = 1 << 15  # fixed device buffer for the model
         # (0.02 m voxels over a tabletop scene occupy ~5-20k slots)
+        # trust region for pose-seeded registration (see stitch_sequence)
+        self.pose_trust_trans = 0.01  # meters
+        self.pose_trust_rot = 0.05  # radians
 
     # ------------------------------------------------------------------
     def create_point_cloud_from_rgbd(self, color_img, depth_img) -> PointCloud:
@@ -176,6 +179,19 @@ class RGBDStitcher:
             current = self.create_point_cloud_from_rgbd(color_images[i], depth_images[i])
             init = poses[i] if poses is not None else None
             T, fitness = self.register_point_clouds(current, combined, init)
+            if init is not None:
+                # trust-region gating against the known pose: smooth,
+                # low-texture objects let ICP slide along flat cost
+                # directions; corrections beyond the camera-pose error
+                # budget are rejected in favor of the prior.
+                d = np.asarray(T) @ np.linalg.inv(np.asarray(init))
+                rot_err = np.arccos(
+                    np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1)
+                )
+                if np.linalg.norm(d[:3, 3]) > self.pose_trust_trans or (
+                    rot_err > self.pose_trust_rot
+                ):
+                    T = np.asarray(init)
             combined = self._model_append(combined, current, T)
 
             if i % self.optimization_modulus == 0 and combined.count() > 1000:

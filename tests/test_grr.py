@@ -333,3 +333,41 @@ class TestKinova:
         ok = np.asarray(ok)
         assert ok.any()
         assert err[ok].max() < 2e-3
+
+
+class TestTeleopAndBatch:
+    def test_teleop_towards_clamps_step(self, small_roadmap):
+        res = small_roadmap
+        q0 = np.zeros(6)
+        q1 = np.ones(6)
+        out = res.teleop_towards(q0, q1, max_change=0.03)
+        assert np.abs(np.asarray(out) - q0).max() <= 0.03 + 1e-6
+        # within reach: jumps to target
+        out2 = res.teleop_towards(q0, q0 + 0.01, max_change=0.03)
+        np.testing.assert_allclose(out2, q0 + 0.01, atol=1e-6)
+
+    def test_teleop_solve_steps_toward_target(self, small_roadmap):
+        res = small_roadmap
+        if len(res.points) < 3:
+            pytest.skip("roadmap too small")
+        q_curr = res.configs[0]
+        target = res.points[1]
+        res.plan_path = None
+        res.path_index = 0
+        q_new = res.teleop_solve(list(target), np.asarray(q_curr), max_change=0.05)
+        if q_new is not None:
+            diff = np.abs(np.asarray(q_new) - np.asarray(q_curr))
+            # cyclic wrap for the base joint
+            diff[0] = min(diff[0], 2 * np.pi - diff[0])
+            assert diff.max() <= 0.05 + 1e-5
+
+    def test_solve_batch_matches_targets(self, small_roadmap):
+        res = small_roadmap
+        arc = scan_arc([0.75, 0.75, 0.0], num_points=12)
+        qs, ok = res.solve_batch(arc)
+        assert qs.shape == (12, 6)
+        ok = np.asarray(ok)
+        if ok.any():
+            ee = np.asarray(res.robot.fk_point_batch(qs[ok]))
+            err = np.linalg.norm(ee[:, :3] - arc[ok][:, :3], axis=-1)
+            assert err.max() < 5e-3
