@@ -24,6 +24,7 @@ from reconplan_tpu.grr.paths import (
     linear_interpolate,
 )
 from reconplan_tpu.grr.quality import evaluate_roadmap
+from reconplan_tpu.grr import experiment, nearest_neighbors
 
 __all__ = [
     "RoadmapWorkspace",
@@ -34,4 +35,6 @@ __all__ = [
     "arc_interpolate",
     "linear_interpolate",
     "evaluate_roadmap",
+    "experiment",
+    "nearest_neighbors",
 ]

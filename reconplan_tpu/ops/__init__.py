@@ -27,6 +27,7 @@ from reconplan_tpu.ops.icp import (
     colored_icp,
     register_kabsch,
 )
+from reconplan_tpu.ops import tsdf, tsdf_brick, marching, features
 
 __all__ = [
     "PointCloud",
@@ -43,4 +44,8 @@ __all__ = [
     "icp_point_to_plane",
     "colored_icp",
     "register_kabsch",
+    "tsdf",
+    "tsdf_brick",
+    "marching",
+    "features",
 ]
