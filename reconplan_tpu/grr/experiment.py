@@ -232,21 +232,33 @@ def dynamic_time_warping(traj1, traj2):
     return float(D[n, m])
 
 
-def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04):
-    """Compare GRR teleop vs Newton-IK tracking over generated trajectories
-    (trajectory_quality.py:147-285). Returns per-method dicts of success
-    rate, mean DTW deviation, and config/workspace length ratio."""
+def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04,
+                         include_relaxed=True):
+    """Compare GRR teleop vs Newton-IK vs RelaxedIK tracking over generated
+    trajectories (trajectory_quality.py:147-285). Returns per-method dicts
+    of success rate, mean DTW deviation, and config/workspace length
+    ratio."""
+    from reconplan_tpu.kin.relaxed import relaxed_teleop_solver
+
     robot = resolution.robot
     rng = np.random.default_rng(seed)
     results = {"grr": [], "newton": []}
+    if include_relaxed:
+        results["relaxed"] = []
     for traj in trajectories:
         q0 = robot.solve_ik(traj[0])
         if q0 is None:
             continue
-        for name, solver in (
+        methods = [
             ("grr", lambda: grr_teleop_solver(resolution, traj, q0, max_change)),
             ("newton", lambda: newton_teleop_solver(robot, traj, q0, max_change)),
-        ):
+        ]
+        if include_relaxed:
+            methods.append(
+                ("relaxed",
+                 lambda: relaxed_teleop_solver(robot, traj, q0, max_change))
+            )
+        for name, solver in methods:
             c_traj = solver()
             w_traj = get_ws_traj(robot, c_traj)
             ok = check_c_traj(robot, c_traj, traj[-1])

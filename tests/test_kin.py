@@ -240,3 +240,37 @@ class TestSegmentDistance:
         d = float(ssd(jnp.array([0.0, 0, 0]), jnp.array([0.0, 0, 0]),
                       jnp.array([1.0, -1, 0]), jnp.array([1.0, 1, 0])))
         assert d == pytest.approx(1.0, abs=1e-6)
+
+
+class TestRelaxedIK:
+    def test_converges_with_smooth_motion(self, ur10):
+        from reconplan_tpu.kin.relaxed import RelaxedIK
+
+        q0 = np.array([0.0, -1.0, 1.7, -2.27, -1.57, 1.57], dtype=np.float32)
+        pt = np.asarray(ur10.fk_point_batch(q0[None]))[0]
+        solver = RelaxedIK(ur10)
+        solver.reset(q0 + 0.1)
+        q = solver.solve_precise(pt[:3], pt[3:7], n_rounds=10)
+        ee = np.asarray(ur10.fk_point_batch(np.asarray(q, np.float32)[None]))[0]
+        assert np.linalg.norm(ee[:3] - pt[:3]) < 2e-3
+        assert abs(np.dot(ee[3:7], pt[3:7])) > 0.999
+        # motion bounded (soft objective resists wild jumps)
+        assert np.abs(np.asarray(q) - (q0 + 0.1)).max() < 0.5
+
+    def test_velocity_weight_relaxes_tracking(self, ur10):
+        """Higher smoothness weight (damping) -> smaller single-step motion."""
+        from reconplan_tpu.kin.relaxed import _relaxed_step
+        from reconplan_tpu.core import maths as M
+
+        q0 = jnp.asarray([0.0, -1.0, 1.7, -2.27, -1.57, 1.57], dtype=jnp.float32)
+        target = np.asarray(ur10.fk_point_batch((np.asarray(q0) + 0.05)[None]))[0]
+        moves = []
+        for w_vel in (0.5, 500.0):
+            w = jnp.asarray([50.0, 10.0, w_vel, 1.0], dtype=jnp.float32)
+            q = _relaxed_step(
+                ur10.model, ur10._active_tuple, ur10.ee_link, q0,
+                jnp.asarray(target[:3]), jnp.asarray(target[3:7]),
+                ur10._q_rest, w, n_steps=1,
+            )
+            moves.append(float(jnp.abs(q - q0).max()))
+        assert moves[1] < moves[0]
