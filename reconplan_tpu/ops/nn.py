@@ -21,8 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
-def pairwise_sqdist(x, y, precision=jax.lax.Precision.HIGHEST):
-    """Squared euclidean distances (N, D) x (M, D) -> (N, M)."""
+def pairwise_sqdist(x, y, precision=jax.lax.Precision.HIGHEST, center=True):
+    """Squared euclidean distances (N, D) x (M, D) -> (N, M).
+
+    ``center=True`` subtracts the joint mean first: the matmul identity's
+    cancellation error scales with |x||y|, and for scenes far from the
+    origin it reaches ~1e-3 absolute — enough to corrupt top-k SELECTION
+    on sub-mm-spaced roadmaps (observed: a 5000-node arc graph fragmented
+    into 92 components). Centering drops the error by orders of magnitude
+    at the cost of one mean.
+    """
+    if center:
+        mu = 0.5 * (jnp.mean(x, axis=0) + jnp.mean(y, axis=0))
+        x = x - mu
+        y = y - mu
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)
     xy = jnp.matmul(x, y.T, precision=precision)
@@ -34,8 +46,8 @@ def se3_pairwise(points1, points2, position_weight=1.0, rotation_weight=0.3):
 
     ``w_p * ||p1-p2|| + w_r * (1 - |q1.q2|)`` — the workspace metric of the
     whole GRR stack (``grr/utils.py:35-60``), evaluated densely: the
-    position term via the matmul identity, the rotation term via one (N, M)
-    quaternion inner-product matmul.
+    position term via the (centered) matmul identity, the rotation term via
+    one (N, M) quaternion inner-product matmul.
     """
     d_pos = jnp.sqrt(pairwise_sqdist(points1[:, :3], points2[:, :3]))
     if points1.shape[-1] <= 3:
@@ -64,17 +76,22 @@ def knn(queries, points, k, valid=None, row_chunk=1024):
     pad = (-Q) % row_chunk
     q_padded = jnp.pad(queries, ((0, pad), (0, 0)))
 
+    n_cand = min(max(4 * k + 16, k), points.shape[0])
+
     def chunk_fn(q_chunk):
         d = pairwise_sqdist(q_chunk, points)
         if valid is not None:
             d = jnp.where(valid[None, :], d, jnp.inf)
-        _, idx = jax.lax.top_k(-d, k)
-        # The matmul-form distance suffers catastrophic cancellation near
-        # zero (~1e-3 absolute in f32) — recompute the k selected distances
-        # exactly by direct subtraction (cheap: chunk x k x D).
-        diff = q_chunk[:, None, :] - points[idx]
+        # two-stage exact selection (matmul-form distances carry absolute
+        # error; see se3_knn): candidate superset -> exact re-rank.
+        _, cand = jax.lax.top_k(-d, n_cand)
+        diff = q_chunk[:, None, :] - points[cand]
         d_exact = jnp.linalg.norm(diff, axis=-1)
-        return d_exact, idx
+        if valid is not None:
+            d_exact = jnp.where(valid[cand], d_exact, jnp.inf)
+        neg_top, pos_in_cand = jax.lax.top_k(-d_exact, k)
+        idx = jnp.take_along_axis(cand, pos_in_cand, axis=1)
+        return -neg_top, idx
 
     chunks = q_padded.reshape(-1, row_chunk, queries.shape[-1])
     dists, idx = jax.lax.map(chunk_fn, chunks)
@@ -117,22 +134,31 @@ def se3_knn(queries, points, k, valid=None, row_chunk=512):
     pad = (-Q) % row_chunk
     q_padded = jnp.pad(queries, ((0, pad), (0, 0)))
 
+    n_cand = min(max(4 * k + 16, k), points.shape[0])
+
     def chunk_fn(q_chunk):
         d = se3_pairwise(q_chunk, points)
         if valid is not None:
             d = jnp.where(valid[None, :], d, jnp.inf)
-        _, idx = jax.lax.top_k(-d, k)
-        # exact recompute of the selected k (see knn note on cancellation;
-        # GRR's "falls on a node" check compares these against 1e-3,
-        # resolution.py:316/345)
-        sel = points[idx]  # (chunk, k, D)
+        # two-stage exact selection: the dense matmul metric carries a
+        # small absolute error, so take a candidate superset by the noisy
+        # metric, recompute exactly by direct subtraction, then re-rank.
+        # (GRR's "falls on a node" check compares these against 1e-3,
+        # resolution.py:316/345, and roadmap connectivity at sub-mm node
+        # spacing depends on correct ranking.)
+        _, cand = jax.lax.top_k(-d, n_cand)
+        sel = points[cand]  # (chunk, n_cand, D)
         d_pos = jnp.linalg.norm(q_chunk[:, None, :3] - sel[..., :3], axis=-1)
         if points.shape[-1] > 3:
             qdot = jnp.abs(jnp.sum(q_chunk[:, None, 3:7] * sel[..., 3:7], axis=-1))
             d_exact = d_pos + 0.3 * (1.0 - qdot)
         else:
             d_exact = d_pos
-        return d_exact, idx
+        if valid is not None:
+            d_exact = jnp.where(valid[cand], d_exact, jnp.inf)
+        neg_top, pos_in_cand = jax.lax.top_k(-d_exact, k)
+        idx = jnp.take_along_axis(cand, pos_in_cand, axis=1)
+        return -neg_top, idx
 
     chunks = q_padded.reshape(-1, row_chunk, queries.shape[-1])
     dists, idx = jax.lax.map(chunk_fn, chunks)
