@@ -59,9 +59,14 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True):
     if track_array is None:
         track_array = []
     if batched:
-        qs, ok = grr.solve_batch(np.asarray(workspace_path))
+        qs, ok, track = grr.solve_batch(
+            np.asarray(workspace_path), return_track=True
+        )
         config_path = [q if o else None for q, o in zip(qs, ok)]
-        track_array.extend(float(o) for o in ok)
+        # same tracking-mode diagnostic solve() appends (min joint distance
+        # to the roadmap seed, resolution.py:322) so trackarr.txt stays
+        # comparable to the reference's golden file.
+        track_array.extend(float(t) for t in track)
     else:
         config_path = []
         curr = None

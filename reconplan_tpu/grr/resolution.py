@@ -214,7 +214,7 @@ class RedundancyResolution:
         return solve_with_guess(q_avg)
 
     def solve_batch(self, points, init_config=None, max_iters=100,
-                    tolerance=1e-3):
+                    tolerance=1e-3, return_track=False):
         """Solve a whole Cartesian path ON DEVICE in one dispatch.
 
         Tracking-mode semantics of :meth:`solve` (seed = joint-space
@@ -230,7 +230,11 @@ class RedundancyResolution:
                 the first waypoint cold-starts from the nearest roadmap
                 config.
 
-        Returns (configs (T, A) np, success (T,) np bool).
+        Returns (configs (T, A) np, success (T,) np bool); with
+        ``return_track=True`` additionally the per-waypoint min joint
+        distance to the roadmap seeds — the same tracking-mode diagnostic
+        :meth:`solve` appends to TrackArray (resolution.py:322), so
+        trackarr.txt stays comparable to the reference's golden file.
         """
         import jax
         from reconplan_tpu.kin.ik import dls_ik
@@ -276,12 +280,14 @@ class RedundancyResolution:
             valid = robot._validate_device(q)
             ok = jnp.logical_and(res.success, valid)
             new_curr = jnp.where(ok, q, curr)
-            return new_curr, (q, ok)
+            return new_curr, (q, ok, jnp.min(jd))
 
         eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
                                (pts.shape[0], 3, 3))
         rotm_t = rotm_t if use_rot else eye
-        _, (qs, oks) = jax.lax.scan(step, q0, (pts, pos_t, rotm_t))
+        _, (qs, oks, track) = jax.lax.scan(step, q0, (pts, pos_t, rotm_t))
+        if return_track:
+            return np.asarray(qs), np.asarray(oks), np.asarray(track)
         return np.asarray(qs), np.asarray(oks)
 
     def _component_containing(self, nodes, target):

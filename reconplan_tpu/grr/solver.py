@@ -199,6 +199,11 @@ class ExpansionSolver:
         dist = np.asarray(self.robot.distance_batch(q1, q2))
         n_divs = np.ceil(dist / eps).astype(np.int64)
         depth = np.ceil(np.log2(np.maximum(n_divs + 1, 1))).astype(np.int64)
+        # Pairs needing more than 2^_MAX_BISECT_DEPTH segments (config
+        # distance > ~64*eps) would be checked more coarsely than the
+        # reference's unbounded ceil(dist/eps)+1 subdivision — fail them
+        # conservatively instead of risking a false-continuous edge.
+        too_deep = depth > _MAX_BISECT_DEPTH
         depth = np.minimum(depth, _MAX_BISECT_DEPTH)
         S = 1 << _MAX_BISECT_DEPTH
 
@@ -249,6 +254,7 @@ class ExpansionSolver:
             fail = active_edge & ~level_ok.all(axis=1)
             ok &= ~fail
             Q[:, mids] = qm
+        ok &= ~too_deep
         return ok[:B_real]
 
     def is_continuous(self, q1, q2, p1, p2):

@@ -137,9 +137,11 @@ def poisson_reconstruct(points, normals, depth=128, padding=0.2, return_grid=Fal
         jnp.float32(voxel),
         depth,
     )
-    # chi is higher inside (normals outward, div V < 0 inside -> chi > 0
-    # with the sign conventions above); marching expects sdf < 0 inside.
-    field = (iso - chi).astype(jnp.float32)
+    # With the indicator convention chi=1 inside and OUTWARD normals n, the
+    # smoothed indicator satisfies grad chi = -n*delta, so solving
+    # lap chi = div V (V = n*delta) yields chi LOWER inside.  marching
+    # expects sdf < 0 inside, so (chi - iso) is already correctly signed.
+    field = (chi - iso).astype(jnp.float32)
     grid = TSDFGrid(
         sdf=field,
         weight=jnp.ones_like(field),

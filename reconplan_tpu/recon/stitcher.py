@@ -133,6 +133,13 @@ class RGBDStitcher:
         cap = self.model_capacity
         (idx,) = jnp.nonzero(merged.valid, size=cap, fill_value=0)
         count = jnp.sum(merged.valid)
+        # track (lazily, on device) how far occupancy exceeded capacity —
+        # nonzero(size=cap) silently drops voxels past the cap, so surface
+        # the overflow instead of reporting full occupancy (checked once
+        # per sequence in stitch_sequence to avoid per-frame host syncs).
+        self._overflow = jnp.maximum(
+            getattr(self, "_overflow", jnp.int32(0)), (count - cap).astype(jnp.int32)
+        )
         valid = jnp.arange(cap) < count
         return PointCloud(
             merged.points[idx],
@@ -196,6 +203,17 @@ class RGBDStitcher:
 
             if i % self.optimization_modulus == 0 and combined.count() > 1000:
                 combined = remove_statistical_outliers(combined, 20, 2.0)
+        overflow = int(getattr(self, "_overflow", 0))
+        if overflow > 0:
+            import warnings
+
+            warnings.warn(
+                f"stitcher model buffer overflowed by {overflow} voxels "
+                f"(capacity {self.model_capacity}); geometry was dropped — "
+                "raise model_capacity or voxel_size",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return combined
 
     # ------------------------------------------------------------------

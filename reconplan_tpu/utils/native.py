@@ -29,8 +29,19 @@ def _build():
     )
 
 
-def _load():
+def _stale():
+    """True when the .so is absent or older than its source."""
     if not os.path.exists(_LIB_PATH):
+        return True
+    src = os.path.join(_NATIVE_DIR, "graphcore.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+
+
+def _load():
+    if _stale():
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.graphcore_dijkstra.restype = ctypes.c_int64

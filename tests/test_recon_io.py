@@ -33,6 +33,21 @@ class TestPoisson:
         assert abs(r.mean() - 0.1) < 5e-4, r.mean()
         assert r.std() < 2e-3
 
+    def test_winding_outward_consistent(self):
+        """Poisson meshes must wind outward (chi-iso sign convention)."""
+        from reconplan_tpu.recon.poisson import poisson_reconstruct
+
+        d = RNG.normal(size=(4000, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pts = (0.1 * d).astype(np.float32)
+        tris = poisson_reconstruct(pts, d.astype(np.float32), depth=64)
+        c = tris.mean(axis=1)
+        nrm = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        radial = c / np.linalg.norm(c, axis=-1, keepdims=True)
+        frac_outward = float((np.sum(nrm * radial, -1) > 0).mean())
+        assert frac_outward > 0.99, frac_outward
+
     def test_chamfer_vs_input_points(self):
         from reconplan_tpu.recon.metrics import chamfer_distance
         from reconplan_tpu.recon.poisson import poisson_reconstruct
