@@ -41,12 +41,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BRICK_Z, BRICK_Y, BRICK_X = 8, 8, 16  # 8x8x16 voxels = one (8,128) tile
-# Depth window per (brick, frame). Origins are aligned to the HBM tile
-# grid (8 sublanes, 128 lanes) because Mosaic requires provably-tiled DMA
-# slices; the extra size buys guaranteed coverage margins of +-28 rows and
-# +-64 lanes around the brick-center projection (enough for an 8x8x16-voxel
-# brick at >= 0.25 m range with the D435 intrinsics).
-WIN_H, WIN_W = 64, 256
+# Depth window per (brick, frame). The window is placed at the brick's
+# ACTUAL projected footprint (row base = floor8(min v), lane base =
+# floor128(min u), computed per brick-frame from the voxel projections),
+# then lane-rolled so the footprint starts at lane 0 — every window row
+# needs ONE 128-lane gather instead of two chunk gathers plus a select.
+# Rows: a FOOT_H-row fast window with a WIN_H-row fallback branch for
+# close-range bricks (footprint taller than FOOT_H-7 rows). Coverage
+# guarantee: v-extent <= WIN_H-7 rows and u-extent <= 128 lanes; larger
+# footprints lose their outermost voxels (same class of approximation as
+# the round-1 center-anchored +-28/+-64 window, but strictly wider since
+# the base is the true footprint minimum).
+FOOT_H, WIN_H, WIN_W = 32, 64, 256
 
 
 class BrickGrid(NamedTuple):
@@ -154,6 +160,286 @@ def active_brick_mask(
     return active.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("depth_scale", "mip_cell", "mip_rounds"))
+def _build_depth_mip(depths, depth_scale=1000.0, mip_cell=16, mip_rounds=3):
+    """Per-frame dilated min/max depth mip, packed (max_mm << 16 | min_mm).
+
+    ``mip_cell``-pixel cells, ``mip_rounds`` rounds of separable 3x3
+    min/max dilation (reach = mip_rounds*mip_cell px beyond the own cell).
+    Invalid (0) depth is +inf for the min; dmin == 65535 means no valid
+    pixel anywhere in the neighborhood. Shared by the hierarchical active
+    mask (coarse prune) and the integration kernel (per-brick-frame
+    occlusion skip).
+    """
+    F, Hd, Wd = depths.shape
+    assert Hd % mip_cell == 0 and Wd % mip_cell == 0, (Hd, Wd, mip_cell)
+    Hm, Wm = Hd // mip_cell, Wd // mip_cell
+    d_mm = depths.astype(jnp.float32) * (1000.0 / depth_scale)
+    d_mm = jnp.clip(d_mm, 0.0, 65534.0)
+    cells = d_mm.reshape(F, Hm, mip_cell, Wm, mip_cell)
+    dmin = jnp.min(jnp.where(cells > 0, cells, 65535.0), axis=(2, 4))
+    dmax = jnp.max(cells, axis=(2, 4))
+    for _ in range(mip_rounds):  # separable 3x3 min/max dilation
+        for ax in (1, 2):
+            dmin = jnp.minimum(
+                dmin, jnp.minimum(jnp.roll(dmin, 1, ax), jnp.roll(dmin, -1, ax))
+            )
+            dmax = jnp.maximum(
+                dmax, jnp.maximum(jnp.roll(dmax, 1, ax), jnp.roll(dmax, -1, ax))
+            )
+    return (dmax.astype(jnp.uint32) << 16) | dmin.astype(jnp.uint32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "brick_dims", "depth_scale", "depth_max", "cap_sb", "mip_cell",
+        "mip_rounds",
+    ),
+)
+def active_brick_mask_hier(
+    brick_dims, origin, voxel_size, trunc,
+    depths, T_w2c, fx, fy, cx, cy,
+    depth_scale=1000.0, depth_max=3.0, cap_sb=2048,
+    mip_cell=16, mip_rounds=3, mip=None,
+):
+    """Two-stage active-brick test with identical results to
+    :func:`active_brick_mask` at ~4x fewer XLA depth gathers (the
+    single-stage mask cost ~6 ms per 8-frame chunk at 512^3; gathers run
+    at ~0.14 G elem/s on this chip).
+
+    Stage 1 tests 2x2x2-superbrick centers against a dilated min/max depth
+    MIP (per-frame ``mip_cell``-pixel cells, ``mip_rounds`` rounds of 3x3
+    min/max dilation, min and max packed into one u32 so each superbrick
+    costs ONE gather per frame). The coarse band is trunc + 2*r_brick +
+    quantization margin, which provably never prunes a superbrick whose
+    brick would pass the fine center test (|z_sb - z_b| <= r_b and the
+    brick-center depth sample lies within the neighborhood's [min, max]),
+    as long as the brick center projects within mip_rounds*mip_cell px of
+    the superbrick center — ~25 px apart at 512^3/0.38 m, covered by the
+    default 48 px reach. Stage 2 applies the exact per-brick center test
+    to the <= 8*cap_sb candidate bricks only.
+
+    ``cap_sb`` bounds the compacted coarse set; superbricks past the cap
+    are dropped (size generously — the coarse shell of a tabletop scan is
+    ~1-2k superbricks).
+    """
+    bd, bh, bw = brick_dims
+    assert bd % 2 == 0 and bh % 2 == 0 and bw % 2 == 0, brick_dims
+    sd, sh, sw = bd // 2, bh // 2, bw // 2
+    F, Hd, Wd = depths.shape
+    Hm, Wm = Hd // mip_cell, Wd // mip_cell
+    if mip is None:
+        mip = _build_depth_mip(depths, depth_scale, mip_cell, mip_rounds)
+
+    r_b = 0.5 * voxel_size * np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2)
+
+    # ---- coarse pass: superbrick centers vs the mip --------------------
+    zi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 0)
+    yi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 1)
+    xi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 2)
+    scx = origin[0] + (xi * 2 * BRICK_X + BRICK_X) * voxel_size
+    scy = origin[1] + (yi * 2 * BRICK_Y + BRICK_Y) * voxel_size
+    scz = origin[2] + (zi * 2 * BRICK_Z + BRICK_Z) * voxel_size
+    band_c = trunc + 2.0 * r_b + 2e-3  # + mm quantization margin
+    sb_mask = jnp.zeros((sd, sh, sw), dtype=bool)
+    for f in range(F):
+        R, t = T_w2c[f, :3, :3], T_w2c[f, :3, 3]
+        x = R[0, 0] * scx + R[0, 1] * scy + R[0, 2] * scz + t[0]
+        y = R[1, 0] * scx + R[1, 1] * scy + R[1, 2] * scz + t[1]
+        z = R[2, 0] * scx + R[2, 1] * scy + R[2, 2] * scz + t[2]
+        zs = jnp.maximum(z, 1e-6)
+        ui = jnp.clip(
+            (x / zs * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1
+        )
+        vi = jnp.clip(
+            (y / zs * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1
+        )
+        p = mip[f].reshape(-1)[(vi * Wm + ui).reshape(-1)].reshape(vi.shape)
+        lo = (p & 0xFFFF).astype(jnp.float32) * 1e-3
+        hi = (p >> 16).astype(jnp.float32) * 1e-3
+        sb_mask |= (
+            (z > 1e-4)
+            & (lo < 65.534)  # any valid pixel in the neighborhood
+            & (lo < depth_max)
+            & (z > lo - band_c)
+            & (z < hi + band_c)
+        )
+    sb_mask = sb_mask.reshape(-1)
+
+    # ---- refine: exact center test on candidate bricks -----------------
+    NSB = sd * sh * sw
+    (sb_ids,) = jnp.nonzero(sb_mask, size=cap_sb, fill_value=NSB)
+    valid_sb = sb_ids < NSB
+    sbz = sb_ids // (sh * sw)
+    sby = (sb_ids // sw) % sh
+    sbx = sb_ids % sw
+    offs = np.array(
+        [(dz, dy, dx) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+        dtype=np.int32,
+    )
+    cz = (sbz[:, None] * 2 + offs[None, :, 0]).reshape(-1)
+    cy_ = (sby[:, None] * 2 + offs[None, :, 1]).reshape(-1)
+    cx_ = (sbx[:, None] * 2 + offs[None, :, 2]).reshape(-1)
+    valid = jnp.repeat(valid_sb, 8)
+    ccx = origin[0] + (cx_.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel_size
+    ccy = origin[1] + (cy_.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel_size
+    ccz = origin[2] + (cz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel_size
+    band_f = trunc + r_b
+    cand_mask = jnp.zeros(ccx.shape, dtype=bool)
+    for f in range(F):
+        R, t = T_w2c[f, :3, :3], T_w2c[f, :3, 3]
+        x = R[0, 0] * ccx + R[0, 1] * ccy + R[0, 2] * ccz + t[0]
+        y = R[1, 0] * ccx + R[1, 1] * ccy + R[1, 2] * ccz + t[1]
+        z = R[2, 0] * ccx + R[2, 1] * ccy + R[2, 2] * ccz + t[2]
+        zs = jnp.maximum(z, 1e-6)
+        uf = x / zs * fx + cx
+        vf = y / zs * fy + cy
+        ui = jnp.clip(jnp.round(uf).astype(jnp.int32), 0, Wd - 1)
+        vi = jnp.clip(jnp.round(vf).astype(jnp.int32), 0, Hd - 1)
+        inside = (z > 1e-4) & (uf >= 0) & (uf < Wd) & (vf >= 0) & (vf < Hd)
+        d = depths[f].reshape(-1)[(vi * Wd + ui)].reshape(vi.shape)
+        d = d.astype(jnp.float32) / depth_scale
+        cand_mask |= inside & (d > 0) & (d < depth_max) & (jnp.abs(d - z) < band_f)
+    cand_mask &= valid
+
+    cand_ids = cz * (bh * bw) + cy_ * bw + cx_
+    NB = bd * bh * bw
+    cand_ids = jnp.where(valid, cand_ids, NB)
+    dense = jnp.zeros(NB + 1, dtype=bool)
+    dense = dense.at[cand_ids].max(cand_mask)
+    return dense[:NB]
+
+
+def _active_mask_kernel(
+    meta_ref,  # (8,) f32 SMEM: origin xyz, voxel, trunc, depth_max, mip_cell, NB
+    poses_ref,  # (F, 16) f32 SMEM (w2c)
+    intr_ref,  # (4,) f32 SMEM
+    mip_ref,  # (F, Hm, 128) i32 VMEM (packed max<<16|min, lanes >= Wm are pad)
+    out_ref,  # (1, 8, 128) f32 block: 1.0 = active
+    *,
+    F: int,
+    Hm: int,
+    Wm: int,
+    brick_dims: tuple,
+):
+    """Per-tile (1024 bricks) conservative band test against the depth mip.
+
+    A brick is active when its center depth z_c lies within
+    [mip_min - band, mip_max + band] of its neighborhood, band = trunc +
+    r_brick + margin: any voxel whose depth sample could satisfy
+    |d - z| < trunc + r_b implies this test (|z_c - d| <= |z_c - z| +
+    |z - d| <= r_b + trunc and mip_min <= d <= mip_max), so unlike the
+    center-depth-sample test this NEVER misses an updating brick at
+    silhouettes — no dilation pass needed. The mip is tiny (30x40 cells
+    for 480x640 frames), so the whole lookup is ~Hm row-gathers per
+    (tile, frame) instead of 1024 XLA gathers (~0.14 G elem/s).
+    """
+    t = pl.program_id(0)
+    bd, bh, bw = brick_dims
+    ox, oy, oz = meta_ref[0], meta_ref[1], meta_ref[2]
+    voxel = meta_ref[3]
+    trunc = meta_ref[4]
+    depth_max = meta_ref[5]
+    mip_cell = meta_ref[6].astype(jnp.int32)
+    NB = meta_ref[7].astype(jnp.int32)
+    fx, fy, cx, cy = intr_ref[0], intr_ref[1], intr_ref[2], intr_ref[3]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    bid = t * 1024 + sub * 128 + lane
+    in_range = bid < NB
+    bz = bid // (bh * bw)
+    by = (bid // bw) % bh
+    bx = bid % bw
+    ccx = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
+    ccy = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
+    ccz = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
+    r_b = 0.5 * voxel * float(np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2))
+    band = trunc + r_b + 2e-3
+
+    active = jnp.zeros((8, 128), dtype=jnp.float32)
+    for f in range(F):
+        r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
+        r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
+        r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
+        x = r00 * ccx + r01 * ccy + r02 * ccz + t0
+        y = r10 * ccx + r11 * ccy + r12 * ccz + t1
+        z = r20 * ccx + r21 * ccy + r22 * ccz + t2
+        zs = jnp.maximum(z, 1e-6)
+        uci = jnp.clip((x / zs * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1)
+        vci = jnp.clip((y / zs * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1)
+        p = jnp.zeros((8, 128), dtype=jnp.int32)
+        for r in range(Hm):
+            row = jnp.broadcast_to(mip_ref[f, r], (8, 128))
+            g = jnp.take_along_axis(row, uci, axis=1)
+            p = jnp.where(vci == r, g, p)
+        lo = (p & 0xFFFF).astype(jnp.float32) * 1e-3
+        hi = jax.lax.shift_right_logical(p, 16).astype(jnp.float32) * 1e-3
+        hit = (
+            (z > 1e-4)
+            & (lo < 65.534)
+            & (lo < depth_max)
+            & (z > lo - band)
+            & (z < hi + band)
+        )
+        active = jnp.maximum(active, hit.astype(jnp.float32))
+    out_ref[0] = jnp.where(in_range, active, 0.0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("brick_dims", "depth_max", "mip_cell", "interpret"),
+)
+def active_brick_mask_pallas(
+    brick_dims, origin, voxel_size, trunc,
+    mip, T_w2c, fx, fy, cx, cy,
+    depth_max=3.0, mip_cell=16, interpret=False,
+):
+    """(NB,) bool via :func:`_active_mask_kernel` (conservative band test).
+
+    ``mip`` is the packed output of :func:`_build_depth_mip` for the frame
+    chunk. ~0.1 ms per 8-frame chunk at 512^3 vs ~5 ms for the XLA
+    gather-based tests.
+    """
+    bd, bh, bw = brick_dims
+    NB = bd * bh * bw
+    F, Hm, Wm = mip.shape
+    n_tiles = (NB + 1023) // 1024
+    assert Wm <= 128, f"mip width {Wm} > 128 lanes; raise mip_cell"
+    mip_p = jnp.zeros((F, Hm, 128), dtype=jnp.int32)
+    mip_p = mip_p.at[:, :, :Wm].set(mip.astype(jnp.int32))
+    meta = jnp.concatenate(
+        [
+            origin.astype(jnp.float32),
+            jnp.asarray(
+                [voxel_size, trunc, depth_max, float(mip_cell), float(NB)],
+                dtype=jnp.float32,
+            ),
+        ]
+    )
+    kernel = partial(
+        _active_mask_kernel, F=F, Hm=Hm, Wm=min(Wm, 128),
+        brick_dims=brick_dims,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(meta, T_w2c.reshape(-1, 16), jnp.asarray([fx, fy, cx, cy], jnp.float32), mip_p)
+    return out.reshape(-1)[:NB] > 0.5
+
+
 # ---------------------------------------------------------------------------
 # the pallas kernel
 # ---------------------------------------------------------------------------
@@ -208,11 +494,6 @@ def _integrate_kernel(
     wy = oy + (by.astype(jnp.float32) * BRICK_Y + ly) * voxel
     wz = oz + (bz.astype(jnp.float32) * BRICK_Z + lz) * voxel
 
-    # brick center (scalars) for window placement
-    cxw = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
-    cyw = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
-    czw = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
-
     fx = intr_ref[0]
     fy = intr_ref[1]
     cx = intr_ref[2]
@@ -234,24 +515,6 @@ def _integrate_kernel(
             r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
             r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
 
-            # window origin from the brick-center projection (scalar math)
-            ccx = r00 * cxw + r01 * cyw + r02 * czw + t0
-            ccy = r10 * cxw + r11 * cyw + r12 * czw + t1
-            ccz = r20 * cxw + r21 * cyw + r22 * czw + t2
-            ccz = jnp.maximum(ccz, 1e-3)
-            uc = ccx / ccz * fx + cx
-            vc = ccy / ccz * fy + cy
-            # tile-aligned window origins with guaranteed +-64 / +-28 coverage;
-            # pl.multiple_of tells the Mosaic prover the DMA slice is tiled
-            u0 = jnp.clip(
-                ((jnp.round(uc).astype(jnp.int32) - 64) // 128) * 128, 0, Wd - WIN_W
-            )
-            v0 = jnp.clip(
-                ((jnp.round(vc).astype(jnp.int32) - 28) // 8) * 8, 0, Hd - WIN_H
-            )
-            u0 = pl.multiple_of(u0, 128)
-            v0 = pl.multiple_of(v0, 8)
-
             # voxel projections (vectors)
             x = r00 * wx + r01 * wy + r02 * wz + t0
             y = r10 * wx + r11 * wy + r12 * wz + t1
@@ -261,37 +524,62 @@ def _integrate_kernel(
             v = y / zs * fy + cy
             ui = jnp.round(u).astype(jnp.int32)
             vi = jnp.round(v).astype(jnp.int32)
-            ul = ui - u0
-            vl = vi - v0
-            in_win = (ul >= 0) & (ul < WIN_W) & (vl >= 0) & (vl < WIN_H)
             in_img = (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd) & (z > 1e-4)
-            ok = in_win & in_img
-            ul = jnp.clip(ul, 0, WIN_W - 1)
 
-            # dynamic-slice load of the window straight out of the resident
-            # VMEM frame (no DMA in the brick loop — the per-(brick, frame)
-            # async-copy variant was DMA-latency bound at ~12 us/brick-frame)
-            win = depths_ref[f, pl.ds(v0, WIN_H), pl.ds(u0, WIN_W)]
+            # footprint extents over in-image voxels (scalar reductions)
+            BIG = jnp.int32(1 << 20)
+            umin = jnp.min(jnp.where(in_img, ui, BIG))
+            umax = jnp.max(jnp.where(in_img, ui, -BIG))
+            vmin = jnp.min(jnp.where(in_img, vi, BIG))
+            vmax = jnp.max(jnp.where(in_img, vi, -BIG))
 
-            # depth sample: per-row lane gathers (two 128-lane chunks) + row
-            # select. tpu.dynamic_gather only spans one vreg (128 lanes) along
-            # the gather dim, hence the lo/hi chunk split. (A predicated
-            # row-skip variant using a VMEM accumulator measured 2.5x SLOWER
-            # than this register-accumulating unrolled loop — pl.when regions
-            # forced memory round-trips per row.)
-            ul_lo = jnp.clip(ul, 0, 127)
-            ul_hi = jnp.clip(ul - 128, 0, 127)
-            use_hi = ul >= 128
-            d = jnp.zeros_like(sdf)
-            for r in range(WIN_H):
-                row_lo = jnp.broadcast_to(win[r, :128], (BRICK_Z, BRICK_Y * BRICK_X))
-                row_hi = jnp.broadcast_to(win[r, 128:], (BRICK_Z, BRICK_Y * BRICK_X))
-                g = jnp.where(
-                    use_hi,
-                    jnp.take_along_axis(row_hi, ul_hi, axis=1),
-                    jnp.take_along_axis(row_lo, ul_lo, axis=1),
+            # lane window: a 256-lane aligned load rolled so the footprint
+            # starts at lane 0 — one 128-lane gather per row, no chunk
+            # select. (tpu.dynamic_gather spans one vreg = 128 lanes along
+            # the gather dim; the roll is a single dynamic lane rotation.)
+            u0 = jnp.clip((umin // 128) * 128, 0, Wd - WIN_W)
+            u0 = pl.multiple_of(u0, 128)
+            shift = jnp.clip(umin - u0, 0, 128)
+            ubase = u0 + shift
+            ul = ui - ubase
+            vl_img = vi  # window-local rows computed per branch below
+
+            # row window: FOOT_H rows when the footprint fits (typical
+            # production case: ~20-30 px tall bricks), else the WIN_H
+            # fallback. Both place the base at floor8(vmin). NOTE: the cond
+            # branches return ONLY the f32 depth tile — yielding a bool
+            # vector from lax.cond crashes the Mosaic backend (scf.yield of
+            # vector<i1>), so in_win is computed outside from scalars.
+            v0s = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H)
+            v0f = jnp.clip((vmin // 8) * 8, 0, Hd - WIN_H)
+            fits_small = (vmax - v0s) < FOOT_H
+            v0_eff = jnp.where(fits_small, v0s, v0f)
+            H_eff = jnp.where(fits_small, FOOT_H, WIN_H)
+            vl_eff = vl_img - v0_eff
+            in_win = (ul >= 0) & (ul < 128) & (vl_eff >= 0) & (vl_eff < H_eff)
+            ulc = jnp.clip(ul, 0, 127)
+
+            def _sample(H, v0):
+                v0 = pl.multiple_of(v0, 8)
+                win = depths_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
+                rolled = pltpu.roll(
+                    win, jnp.where(shift == 0, 0, WIN_W - shift), axis=1
                 )
-                d = jnp.where(vl == r, g, d)
+                wl = rolled[:, :128]
+                vl = vl_img - v0
+                d = jnp.zeros_like(sdf)
+                for r in range(H):
+                    row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
+                    g = jnp.take_along_axis(row, ulc, axis=1)
+                    d = jnp.where(vl == r, g, d)
+                return d
+
+            d = jax.lax.cond(
+                fits_small,
+                lambda: _sample(FOOT_H, v0s),
+                lambda: _sample(WIN_H, v0f),
+            )
+            ok = in_win & in_img
 
             d = d / depth_scale
             ok = ok & (d > 0.0) & (d < depth_max) & is_real
@@ -313,6 +601,297 @@ def _integrate_kernel(
 
     sdf_out_ref[0] = sdf
     w_out_ref[0] = w
+
+
+def _integrate_kernel_dyn(
+    # scalar prefetch
+    brick_ids_ref,  # (M,) int32 in SMEM
+    # inputs
+    meta_ref,  # (8,) f32 SMEM: origin xyz, voxel, trunc, max_weight, id_base, n_real
+    poses_ref,  # (F, 16) f32 SMEM
+    intr_ref,  # (4,) f32 SMEM
+    mip_ref,  # (F, Hm, Wm) i32 SMEM: packed min/max depth mip
+    depths_ref,  # (F, Hd, Wd) f32 VMEM resident
+    sdf_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
+    w_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
+    # outputs (aliased)
+    sdf_out_ref,
+    w_out_ref,
+    # scratch
+    sdf_bufs,  # (NSLOT, 8, 128) VMEM
+    w_bufs,  # (NSLOT, 8, 128) VMEM
+    in_s_sem, in_w_sem, out_s_sem, out_w_sem,  # (NSLOT,) DMA sems
+    *,
+    F: int,
+    Hd: int,
+    Wd: int,
+    brick_dims: tuple,
+    depth_scale: float,
+    depth_max: float,
+    mip_cell: int,
+):
+    """Dynamic-trip-count variant of :func:`_integrate_kernel`.
+
+    One grid step; a ``fori_loop`` runs EXACTLY ``n_real`` iterations
+    (meta[7]), double-buffering each brick's sdf/weight rows HBM<->VMEM
+    through NSLOT slots with 2-ahead prefetch. This removes the padding
+    cost of the fixed-grid kernel entirely: grid steps pay ~0.5 us of
+    block copies even for scratch-brick revisits (data-dependent index
+    maps defeat Pallas' revisit elision), which at max_active=32768 wasted
+    ~16 ms per chunk. Measured DMA floor of this loop: ~0.57 us/brick,
+    fully hidden behind the ~1.3 us/brick 8-frame compute.
+
+    Per (brick, frame) an OCCLUSION SKIP bypasses the sampling loop when
+    the brick lies entirely behind every observed depth in its mip
+    neighborhood: every voxel has z >= z_center - r_brick and d <= mip_max,
+    so mip_max < z_center - r_brick - trunc implies sdf_obs < -trunc for
+    all voxels — provably no update. On an orbit roughly half the frames
+    per brick are occluded (far side), halving VPU work with bit-identical
+    results.
+    """
+    NSLOT = 4
+    n = meta_ref[7].astype(jnp.int32)
+    bd, bh, bw = brick_dims
+
+    ox = meta_ref[0]
+    oy = meta_ref[1]
+    oz = meta_ref[2]
+    voxel = meta_ref[3]
+    trunc = meta_ref[4]
+    max_weight = meta_ref[5]
+    fx = intr_ref[0]
+    fy = intr_ref[1]
+    cx = intr_ref[2]
+    cy = intr_ref[3]
+
+    lz = jax.lax.broadcasted_iota(
+        jnp.int32, (BRICK_Z, BRICK_Y * BRICK_X), 0
+    ).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BRICK_Z, BRICK_Y * BRICK_X), 1)
+    ly = (lane // BRICK_X).astype(jnp.float32)
+    lx = (lane % BRICK_X).astype(jnp.float32)
+
+    def cp_in_s(k):
+        s = jax.lax.rem(k, NSLOT)
+        return pltpu.make_async_copy(
+            sdf_out_ref.at[brick_ids_ref[k]], sdf_bufs.at[s], in_s_sem.at[s]
+        )
+
+    def cp_in_w(k):
+        s = jax.lax.rem(k, NSLOT)
+        return pltpu.make_async_copy(
+            w_out_ref.at[brick_ids_ref[k]], w_bufs.at[s], in_w_sem.at[s]
+        )
+
+    def cp_out_s(k):
+        s = jax.lax.rem(k, NSLOT)
+        return pltpu.make_async_copy(
+            sdf_bufs.at[s], sdf_out_ref.at[brick_ids_ref[k]], out_s_sem.at[s]
+        )
+
+    def cp_out_w(k):
+        s = jax.lax.rem(k, NSLOT)
+        return pltpu.make_async_copy(
+            w_bufs.at[s], w_out_ref.at[brick_ids_ref[k]], out_w_sem.at[s]
+        )
+
+    @pl.when(n > 0)
+    def _():
+        cp_in_s(0).start()
+        cp_in_w(0).start()
+
+    @pl.when(n > 1)
+    def _():
+        cp_in_s(1).start()
+        cp_in_w(1).start()
+
+    def body(k, carry):
+        s = jax.lax.rem(k, NSLOT)
+
+        @pl.when(k + 2 < n)
+        def _():
+            @pl.when(k - 2 >= 0)
+            def _():
+                cp_out_s(k - 2).wait()
+                cp_out_w(k - 2).wait()
+
+            cp_in_s(k + 2).start()
+            cp_in_w(k + 2).start()
+
+        cp_in_s(k).wait()
+        cp_in_w(k).wait()
+
+        bid = brick_ids_ref[k] + meta_ref[6].astype(jnp.int32)
+        bz = bid // (bh * bw)
+        by = (bid // bw) % bh
+        bx = bid % bw
+        wx = ox + (bx.astype(jnp.float32) * BRICK_X + lx) * voxel
+        wy = oy + (by.astype(jnp.float32) * BRICK_Y + ly) * voxel
+        wz = oz + (bz.astype(jnp.float32) * BRICK_Z + lz) * voxel
+        # brick center + radius (scalars) for the occlusion skip
+        cxw = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
+        cyw = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
+        czw = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
+        r_b = 0.5 * voxel * float(
+            np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2)
+        )
+        _, Hm, Wm = mip_ref.shape
+
+        sdf = sdf_bufs[s]
+        w = w_bufs[s]
+        for f in range(F):  # static unroll over frames
+            r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
+            r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
+            r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
+
+            # occlusion skip (scalar): mip_max < z_center - r_b - trunc
+            # implies every voxel's sdf_obs < -trunc -> no update possible.
+            ccz = r20 * cxw + r21 * cyw + r22 * czw + t2
+            ccx = r00 * cxw + r01 * cyw + r02 * czw + t0
+            ccy = r10 * cxw + r11 * cyw + r12 * czw + t1
+            zc = jnp.maximum(ccz, 1e-3)
+            uci = jnp.clip((ccx / zc * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1)
+            vci = jnp.clip((ccy / zc * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1)
+            mi = mip_ref[f, vci, uci]
+            hi_m = (mi >> 16).astype(jnp.float32) * 1e-3
+            hit = (ccz > -r_b) & (hi_m > 0.0) & (
+                ccz - r_b - trunc - 2e-3 < hi_m
+            )
+
+            def _frame(args):
+                sdf, w = args
+                x = r00 * wx + r01 * wy + r02 * wz + t0
+                y = r10 * wx + r11 * wy + r12 * wz + t1
+                z = r20 * wx + r21 * wy + r22 * wz + t2
+                zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+                u = x / zs * fx + cx
+                v = y / zs * fy + cy
+                ui = jnp.round(u).astype(jnp.int32)
+                vi = jnp.round(v).astype(jnp.int32)
+                in_img = (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd) & (z > 1e-4)
+
+                BIG = jnp.int32(1 << 20)
+                umin = jnp.min(jnp.where(in_img, ui, BIG))
+                vmin = jnp.min(jnp.where(in_img, vi, BIG))
+                vmax = jnp.max(jnp.where(in_img, vi, -BIG))
+
+                u0 = jnp.clip((umin // 128) * 128, 0, Wd - WIN_W)
+                u0 = pl.multiple_of(u0, 128)
+                shift = jnp.clip(umin - u0, 0, 128)
+                ul = ui - (u0 + shift)
+
+                v0s = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H)
+                v0f = jnp.clip((vmin // 8) * 8, 0, Hd - WIN_H)
+                fits_small = (vmax - v0s) < FOOT_H
+                v0_eff = jnp.where(fits_small, v0s, v0f)
+                H_eff = jnp.where(fits_small, FOOT_H, WIN_H)
+                vl_eff = vi - v0_eff
+                in_win = (ul >= 0) & (ul < 128) & (vl_eff >= 0) & (vl_eff < H_eff)
+                ulc = jnp.clip(ul, 0, 127)
+
+                def _sample(H, v0):
+                    v0 = pl.multiple_of(v0, 8)
+                    win = depths_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
+                    rolled = pltpu.roll(
+                        win, jnp.where(shift == 0, 0, WIN_W - shift), axis=1
+                    )
+                    wl = rolled[:, :128]
+                    vl = vi - v0
+                    d = jnp.zeros_like(sdf)
+                    for r in range(H):
+                        row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
+                        g = jnp.take_along_axis(row, ulc, axis=1)
+                        d = jnp.where(vl == r, g, d)
+                    return d
+
+                d = jax.lax.cond(
+                    fits_small,
+                    lambda: _sample(FOOT_H, v0s),
+                    lambda: _sample(WIN_H, v0f),
+                )
+                ok = in_win & in_img
+
+                d = d / depth_scale
+                ok = ok & (d > 0.0) & (d < depth_max)
+                sdf_obs = d - z
+                ok = ok & (sdf_obs > -trunc)
+                tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
+                w_obs = ok.astype(jnp.float32)
+                w_new = w + w_obs
+                sdf_n = (sdf * w + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
+                sdf_n = jnp.where(w_new > 0, sdf_n, 1.0)
+                return sdf_n, jnp.minimum(w_new, max_weight)
+
+            sdf, w = jax.lax.cond(hit, _frame, lambda a: a, (sdf, w))
+
+        sdf_bufs[s] = sdf
+        w_bufs[s] = w
+        cp_out_s(k).start()
+        cp_out_w(k).start()
+        return carry
+
+    jax.lax.fori_loop(0, n, body, 0)
+    for i in range(4):
+        @pl.when((n - 4 + i >= 0) & (n - 4 + i < n))
+        def _():
+            cp_out_s(n - 4 + i).wait()
+            cp_out_w(n - 4 + i).wait()
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "brick_dims", "depth_scale", "depth_max", "max_weight", "mip_cell"
+    ),
+    donate_argnums=(0, 1),
+)
+def _integrate_bricks_dyn(
+    sdf_b, weight_b, brick_ids, meta, poses_flat, intr, mip, depths,
+    brick_dims, depth_scale, depth_max, max_weight, mip_cell=16,
+):
+    """Dispatch the dynamic-trip kernel (meta[7] = live brick count)."""
+    F, Hd, Wd = depths.shape
+    NSLOT = 4
+    kernel = partial(
+        _integrate_kernel_dyn,
+        F=F, Hd=Hd, Wd=Wd, brick_dims=brick_dims,
+        depth_scale=depth_scale, depth_max=depth_max, mip_cell=mip_cell,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # intr
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mip (packed min/max)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # depths (resident)
+            pl.BlockSpec(memory_space=pl.ANY),  # sdf (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # weight (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, BRICK_Z, BRICK_Y * BRICK_X), jnp.float32),
+            pltpu.VMEM((NSLOT, BRICK_Z, BRICK_Y * BRICK_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(sdf_b.shape, sdf_b.dtype),
+            jax.ShapeDtypeStruct(weight_b.shape, weight_b.dtype),
+        ),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(brick_ids, meta, poses_flat, intr, mip.astype(jnp.int32), depths, sdf_b, weight_b)
 
 
 @partial(
@@ -395,40 +974,77 @@ def _integrate_device_all(
     <= frames_per_dispatch frames: active mask -> nonzero compaction ->
     kernel. ONE jit dispatch total — zero host synchronization and zero
     eager ops (each eager dispatch over the tunneled runtime costs ~10-30
-    ms; the host-compacted path was spending ~0.2 s/call on that)."""
+    ms; the host-compacted path was spending ~0.2 s/call on that).
+
+    The kernel is the dynamic-trip-count variant: its brick loop runs
+    EXACTLY n_chunk iterations (meta[7]), so the static ``max_active`` cap
+    costs nothing when oversized — it only bounds the id-compaction array.
+    (The fixed-grid kernel paid ~0.5 us per PADDING step — data-dependent
+    index maps defeat Pallas' block-revisit elision — which at 32768 cap
+    wasted ~16 ms per chunk.)
+    """
     T_w2c_all = jnp.linalg.inv(poses)
     bd, bh, bw = brick_dims
-    meta = jnp.concatenate(
-        [
-            origin.astype(jnp.float32),
-            jnp.asarray(
-                [voxel_size, trunc, max_weight, 0.0, float(bd * bh * bw)],
-                dtype=jnp.float32,
-            ),
-        ]
-    )
     nb_scratch = sdf_b.shape[0] - 1
     n_active = jnp.array(0, dtype=jnp.int32)
     F_all = depths.shape[0]
+    Hd, Wd = depths.shape[1:]
+    mip_cell = next(
+        (
+            c
+            for c in (16, 8, 32)
+            if Hd % c == 0 and Wd % c == 0 and Wd // c <= 128
+        ),
+        None,
+    )
     for f0 in range(0, F_all, frames_per_dispatch):
         d_chunk = depths[f0 : f0 + frames_per_dispatch]
         T_chunk = T_w2c_all[f0 : f0 + frames_per_dispatch]
-        mask = active_brick_mask(
-            brick_dims, origin, voxel_size, trunc,
-            d_chunk, T_chunk, intr[0], intr[1], intr[2], intr[3],
-            depth_scale, depth_max,
-        )
-        if dilate_active:
+        if mip_cell is not None:
+            mip = _build_depth_mip(d_chunk, depth_scale, mip_cell)
+            # conservative band test: already a superset of every brick
+            # the kernel can update in-band, so no dilation is needed.
+            mask = active_brick_mask_pallas(
+                brick_dims, origin, voxel_size, trunc,
+                mip, T_chunk, intr[0], intr[1], intr[2], intr[3],
+                depth_max, mip_cell,
+            )
+        else:
+            # frames not divisible by any mip cell: an always-hit 1x1 mip
+            # disables the occlusion skip (kernel stays exact) and the
+            # center-sample mask (+dilation) supplies the active set.
+            mip = jnp.full(
+                (d_chunk.shape[0], 1, 1), (65535 << 16), dtype=jnp.uint32
+            )
+            mask = active_brick_mask(
+                brick_dims, origin, voxel_size, trunc,
+                d_chunk, T_chunk, intr[0], intr[1], intr[2], intr[3],
+                depth_scale, depth_max,
+            )
+        if dilate_active or mip_cell is None:
             m = mask.reshape(bd, bh, bw)
             for ax in range(3):
                 m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
             mask = m.reshape(-1)
+        n_chunk = jnp.minimum(
+            jnp.sum(mask).astype(jnp.int32), jnp.int32(max_active)
+        )
+        n_active = n_active + n_chunk
+        meta = jnp.concatenate(
+            [
+                origin.astype(jnp.float32),
+                jnp.asarray(
+                    [voxel_size, trunc, max_weight, 0.0], dtype=jnp.float32
+                ),
+                n_chunk.astype(jnp.float32)[None],
+            ]
+        )
         (ids,) = jnp.nonzero(mask, size=max_active, fill_value=nb_scratch)
-        n_active = n_active + jnp.sum(mask).astype(jnp.int32)
-        sdf_b, weight_b = _integrate_bricks(
+        sdf_b, weight_b = _integrate_bricks_dyn(
             sdf_b, weight_b, ids.astype(jnp.int32), meta,
-            T_chunk.reshape(-1, 16), intr, d_chunk,
+            T_chunk.reshape(-1, 16), intr, mip, d_chunk,
             brick_dims, depth_scale, depth_max, max_weight,
+            mip_cell=mip_cell if mip_cell is not None else 16,
         )
     return sdf_b, weight_b, n_active
 
@@ -443,9 +1059,13 @@ def integrate_frames_bricked_device(
     max_weight=64.0,
     max_active=8192,
     frames_per_dispatch=8,
-    dilate_active=True,
+    dilate_active=False,
 ):
     """Zero-host-sync brick integration (the production/bench path).
+
+    ``dilate_active`` defaults False: the pallas band mask is already a
+    conservative superset of every brick the kernel can update in-band
+    (dilation is forced on for frame sizes where no mip can be built).
 
     ``max_active`` is a static cap on bricks updated per dispatch; overflow
     drops the highest-index bricks (check the returned ``n_active`` device
