@@ -63,7 +63,7 @@ def main():
     # remote-compile round trip.
     fence = jax.jit(lambda x: jnp.sum(x))
     grid, n_active = tb.integrate_frames_bricked_device(
-        grid, depths_d, poses_d, fx, fy, cx, cy, max_active=32768
+        grid, depths_d, poses_d, fx, fy, cx, cy, max_active=8192
     )
     _ = float(fence(grid.weight))
 
@@ -78,7 +78,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         grid, n_active = tb.integrate_frames_bricked_device(
-            grid, depths_d, poses_d, fx, fy, cx, cy, max_active=32768
+            grid, depths_d, poses_d, fx, fy, cx, cy, max_active=8192
         )
         _ = float(fence(grid.weight))  # completion fence
         times.append(time.perf_counter() - t0 - rpc)

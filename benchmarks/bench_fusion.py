@@ -55,7 +55,7 @@ def main(n_frames=32, dims=(256, 512)):
             (N, N, N), (OBJ[0] - 0.2, OBJ[1] - 0.2, OBJ[2] - 0.15), 0.4 / (N - 1)
         )
         grid, na = tb.integrate_frames_bricked_device(
-            grid, depths, poses, fx, fy, cx, cy, max_active=32768
+            grid, depths, poses, fx, fy, cx, cy, max_active=8192
         )
         _ = float(fence(grid.weight))
         t0 = time.perf_counter()
@@ -66,7 +66,7 @@ def main(n_frames=32, dims=(256, 512)):
         for _ in range(3):
             t0 = time.perf_counter()
             grid, na = tb.integrate_frames_bricked_device(
-                grid, depths, poses, fx, fy, cx, cy, max_active=32768
+                grid, depths, poses, fx, fy, cx, cy, max_active=8192
             )
             _ = float(fence(grid.weight))
             times.append(time.perf_counter() - t0 - rpc)

@@ -160,133 +160,91 @@ def active_brick_mask(
     return active.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("depth_scale", "mip_cell", "mip_rounds"))
-def _build_depth_mip(depths, depth_scale=1000.0, mip_cell=16, mip_rounds=3):
-    """Per-frame dilated min/max depth mip, packed (max_mm << 16 | min_mm).
-
-    ``mip_cell``-pixel cells, ``mip_rounds`` rounds of separable 3x3
-    min/max dilation (reach = mip_rounds*mip_cell px beyond the own cell).
-    Invalid (0) depth is +inf for the min; dmin == 65535 means no valid
-    pixel anywhere in the neighborhood. Shared by the hierarchical active
-    mask (coarse prune) and the integration kernel (per-brick-frame
-    occlusion skip).
-    """
-    F, Hd, Wd = depths.shape
-    assert Hd % mip_cell == 0 and Wd % mip_cell == 0, (Hd, Wd, mip_cell)
-    Hm, Wm = Hd // mip_cell, Wd // mip_cell
-    d_mm = depths.astype(jnp.float32) * (1000.0 / depth_scale)
-    d_mm = jnp.clip(d_mm, 0.0, 65534.0)
-    cells = d_mm.reshape(F, Hm, mip_cell, Wm, mip_cell)
-    dmin = jnp.min(jnp.where(cells > 0, cells, 65535.0), axis=(2, 4))
-    dmax = jnp.max(cells, axis=(2, 4))
-    for _ in range(mip_rounds):  # separable 3x3 min/max dilation
-        for ax in (1, 2):
-            dmin = jnp.minimum(
-                dmin, jnp.minimum(jnp.roll(dmin, 1, ax), jnp.roll(dmin, -1, ax))
-            )
-            dmax = jnp.maximum(
-                dmax, jnp.maximum(jnp.roll(dmax, 1, ax), jnp.roll(dmax, -1, ax))
-            )
-    return (dmax.astype(jnp.uint32) << 16) | dmin.astype(jnp.uint32)
-
-
 @partial(
     jax.jit,
-    static_argnames=(
-        "brick_dims", "depth_scale", "depth_max", "cap_sb", "mip_cell",
-        "mip_rounds",
-    ),
+    static_argnames=("depth_scale", "depth_max", "mip_cell", "mip_rounds"),
 )
-def active_brick_mask_hier(
-    brick_dims, origin, voxel_size, trunc,
-    depths, T_w2c, fx, fy, cx, cy,
-    depth_scale=1000.0, depth_max=3.0, cap_sb=2048,
-    mip_cell=16, mip_rounds=3, mip=None,
+def _build_depth_occupancy(
+    depths, depth_scale=1000.0, depth_max=3.0, mip_cell=8, mip_rounds=4
 ):
-    """Two-stage active-brick test with identical results to
-    :func:`active_brick_mask` at ~4x fewer XLA depth gathers (the
-    single-stage mask cost ~6 ms per 8-frame chunk at 512^3; gathers run
-    at ~0.14 G elem/s on this chip).
+    """Per-cell depth-occupancy bitmask over 64 ADAPTIVE bins spanning the
+    chunk's valid-depth range, returned as two i32 planes (bins 0-31,
+    32-63) plus the (b0, bin_size) parameters.
 
-    Stage 1 tests 2x2x2-superbrick centers against a dilated min/max depth
-    MIP (per-frame ``mip_cell``-pixel cells, ``mip_rounds`` rounds of 3x3
-    min/max dilation, min and max packed into one u32 so each superbrick
-    costs ONE gather per frame). The coarse band is trunc + 2*r_brick +
-    quantization margin, which provably never prunes a superbrick whose
-    brick would pass the fine center test (|z_sb - z_b| <= r_b and the
-    brick-center depth sample lies within the neighborhood's [min, max]),
-    as long as the brick center projects within mip_rounds*mip_cell px of
-    the superbrick center — ~25 px apart at 512^3/0.38 m, covered by the
-    default 48 px reach. Stage 2 applies the exact per-brick center test
-    to the <= 8*cap_sb candidate bricks only.
-
-    ``cap_sb`` bounds the compacted coarse set; superbricks past the cap
-    are dropped (size generously — the coarse shell of a tabletop scan is
-    ~1-2k superbricks).
+    A min/max depth interval per cell is hopeless at
+    silhouettes — [min, max] spans object-to-background, so a band test
+    activates the whole depth column between them (measured 3810 active
+    bricks/chunk vs 683 exact at 512^3). A bin is set iff some valid pixel
+    in the (dilated) neighborhood has depth in that bin, so bricks near NO
+    surface sample stop matching. Bins are fitted to the chunk's observed
+    [min, max] depth (>= 2 mm each) because fixed depth_max/64 bins are
+    coarser than the activation band itself. Dilation is a bitwise OR —
+    trivially conservative. Defaults (8 px cells, 4 rounds) give a
+    32-40 px guaranteed reach, covering projected brick radii for
+    surfaces beyond ~0.3 m at 512^3 scale.
     """
-    bd, bh, bw = brick_dims
-    assert bd % 2 == 0 and bh % 2 == 0 and bw % 2 == 0, brick_dims
-    sd, sh, sw = bd // 2, bh // 2, bw // 2
     F, Hd, Wd = depths.shape
     Hm, Wm = Hd // mip_cell, Wd // mip_cell
-    if mip is None:
-        mip = _build_depth_mip(depths, depth_scale, mip_cell, mip_rounds)
-
-    r_b = 0.5 * voxel_size * np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2)
-
-    # ---- coarse pass: superbrick centers vs the mip --------------------
-    zi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 0)
-    yi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 1)
-    xi = jax.lax.broadcasted_iota(jnp.float32, (sd, sh, sw), 2)
-    scx = origin[0] + (xi * 2 * BRICK_X + BRICK_X) * voxel_size
-    scy = origin[1] + (yi * 2 * BRICK_Y + BRICK_Y) * voxel_size
-    scz = origin[2] + (zi * 2 * BRICK_Z + BRICK_Z) * voxel_size
-    band_c = trunc + 2.0 * r_b + 2e-3  # + mm quantization margin
-    sb_mask = jnp.zeros((sd, sh, sw), dtype=bool)
-    for f in range(F):
-        R, t = T_w2c[f, :3, :3], T_w2c[f, :3, 3]
-        x = R[0, 0] * scx + R[0, 1] * scy + R[0, 2] * scz + t[0]
-        y = R[1, 0] * scx + R[1, 1] * scy + R[1, 2] * scz + t[1]
-        z = R[2, 0] * scx + R[2, 1] * scy + R[2, 2] * scz + t[2]
-        zs = jnp.maximum(z, 1e-6)
-        ui = jnp.clip(
-            (x / zs * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1
-        )
-        vi = jnp.clip(
-            (y / zs * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1
-        )
-        p = mip[f].reshape(-1)[(vi * Wm + ui).reshape(-1)].reshape(vi.shape)
-        lo = (p & 0xFFFF).astype(jnp.float32) * 1e-3
-        hi = (p >> 16).astype(jnp.float32) * 1e-3
-        sb_mask |= (
-            (z > 1e-4)
-            & (lo < 65.534)  # any valid pixel in the neighborhood
-            & (lo < depth_max)
-            & (z > lo - band_c)
-            & (z < hi + band_c)
-        )
-    sb_mask = sb_mask.reshape(-1)
-
-    # ---- refine: exact center test on candidate bricks -----------------
-    NSB = sd * sh * sw
-    (sb_ids,) = jnp.nonzero(sb_mask, size=cap_sb, fill_value=NSB)
-    valid_sb = sb_ids < NSB
-    sbz = sb_ids // (sh * sw)
-    sby = (sb_ids // sw) % sh
-    sbx = sb_ids % sw
-    offs = np.array(
-        [(dz, dy, dx) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
-        dtype=np.int32,
+    d = depths.astype(jnp.float32) / depth_scale
+    valid = (d > 0.0) & (d < depth_max)
+    gmin = jnp.min(jnp.where(valid, d, jnp.inf))
+    gmax = jnp.max(jnp.where(valid, d, -jnp.inf))
+    gmin = jnp.where(jnp.isfinite(gmin), gmin, 0.0)
+    gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
+    bs = jnp.maximum((gmax - gmin) / 62.0, 0.002)
+    b0 = gmin - bs  # bin 1 starts at gmin; 0 and 63 stay as margin
+    bins = jnp.clip(((d - b0) / bs).astype(jnp.int32), 0, 63)
+    cells = bins.reshape(F, Hm, mip_cell, Wm, mip_cell)
+    vcells = valid.reshape(F, Hm, mip_cell, Wm, mip_cell)
+    b = jnp.where(vcells, cells, 0)
+    # NOTE: clamp the shift operand BEFORE the select — i32 shifts by >= 32
+    # or < 0 wrap on TPU, which would set garbage bins
+    lo_bit = jnp.where(
+        vcells & (b < 32),
+        jnp.left_shift(jnp.int32(1), jnp.clip(b, 0, 31)),
+        0,
     )
-    cz = (sbz[:, None] * 2 + offs[None, :, 0]).reshape(-1)
-    cy_ = (sby[:, None] * 2 + offs[None, :, 1]).reshape(-1)
-    cx_ = (sbx[:, None] * 2 + offs[None, :, 2]).reshape(-1)
-    valid = jnp.repeat(valid_sb, 8)
-    ccx = origin[0] + (cx_.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel_size
-    ccy = origin[1] + (cy_.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel_size
-    ccz = origin[2] + (cz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel_size
-    band_f = trunc + r_b
-    cand_mask = jnp.zeros(ccx.shape, dtype=bool)
+    hi_bit = jnp.where(
+        vcells & (b >= 32),
+        jnp.left_shift(jnp.int32(1), jnp.clip(b - 32, 0, 31)),
+        0,
+    )
+    lo_bit = lo_bit.transpose(0, 1, 3, 2, 4).reshape(F, Hm, Wm, -1)
+    hi_bit = hi_bit.transpose(0, 1, 3, 2, 4).reshape(F, Hm, Wm, -1)
+    occ0 = jax.lax.reduce(lo_bit, np.int32(0), jax.lax.bitwise_or, (3,))
+    occ1 = jax.lax.reduce(hi_bit, np.int32(0), jax.lax.bitwise_or, (3,))
+    for _ in range(mip_rounds):  # separable 3x3 OR dilation
+        for ax in (1, 2):
+            occ0 = occ0 | jnp.roll(occ0, 1, ax) | jnp.roll(occ0, -1, ax)
+            occ1 = occ1 | jnp.roll(occ1, 1, ax) | jnp.roll(occ1, -1, ax)
+    return occ0, occ1, jnp.stack([b0, bs])
+
+
+def _exact_frame_bits_dilated(
+    occ_bits, depths, T_w2c, origin, voxel_size, trunc, intr,
+    brick_dims, cap, depth_scale, depth_max,
+):
+    """Per-frame EXACT center-sample bits on the occupancy candidates,
+    dilated one brick in each axis direction (brick-space OR of the bit
+    words, so dilation is per-frame too). Intersecting the conservative
+    occupancy superset with this reproduces the round-1 exact+dilate
+    coverage class while pruning the occupancy's cell/bin quantization
+    bleed (~3x looser per frame at silhouettes)."""
+    bd, bh, bw = brick_dims
+    NB = bd * bh * bw
+    F, Hd, Wd = depths.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    (cand,) = jnp.nonzero(occ_bits != 0, size=cap, fill_value=NB)
+    cidx = jnp.minimum(cand, NB - 1)
+    bz = cidx // (bh * bw)
+    by = (cidx // bw) % bh
+    bx = cidx % bw
+    ccx = origin[0] + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel_size
+    ccy = origin[1] + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel_size
+    ccz = origin[2] + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel_size
+    r_b = 0.5 * voxel_size * np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2)
+    band = trunc + r_b
+    ebits = jnp.zeros(cand.shape, dtype=jnp.int32)
     for f in range(F):
         R, t = T_w2c[f, :3, :3], T_w2c[f, :3, 3]
         x = R[0, 0] * ccx + R[0, 1] * ccy + R[0, 2] * ccz + t[0]
@@ -298,146 +256,14 @@ def active_brick_mask_hier(
         ui = jnp.clip(jnp.round(uf).astype(jnp.int32), 0, Wd - 1)
         vi = jnp.clip(jnp.round(vf).astype(jnp.int32), 0, Hd - 1)
         inside = (z > 1e-4) & (uf >= 0) & (uf < Wd) & (vf >= 0) & (vf < Hd)
-        d = depths[f].reshape(-1)[(vi * Wd + ui)].reshape(vi.shape)
-        d = d.astype(jnp.float32) / depth_scale
-        cand_mask |= inside & (d > 0) & (d < depth_max) & (jnp.abs(d - z) < band_f)
-    cand_mask &= valid
-
-    cand_ids = cz * (bh * bw) + cy_ * bw + cx_
-    NB = bd * bh * bw
-    cand_ids = jnp.where(valid, cand_ids, NB)
-    dense = jnp.zeros(NB + 1, dtype=bool)
-    dense = dense.at[cand_ids].max(cand_mask)
-    return dense[:NB]
-
-
-def _active_mask_kernel(
-    meta_ref,  # (8,) f32 SMEM: origin xyz, voxel, trunc, depth_max, mip_cell, NB
-    poses_ref,  # (F, 16) f32 SMEM (w2c)
-    intr_ref,  # (4,) f32 SMEM
-    mip_ref,  # (F, Hm, 128) i32 VMEM (packed max<<16|min, lanes >= Wm are pad)
-    out_ref,  # (1, 8, 128) f32 block: 1.0 = active
-    *,
-    F: int,
-    Hm: int,
-    Wm: int,
-    brick_dims: tuple,
-):
-    """Per-tile (1024 bricks) conservative band test against the depth mip.
-
-    A brick is active when its center depth z_c lies within
-    [mip_min - band, mip_max + band] of its neighborhood, band = trunc +
-    r_brick + margin: any voxel whose depth sample could satisfy
-    |d - z| < trunc + r_b implies this test (|z_c - d| <= |z_c - z| +
-    |z - d| <= r_b + trunc and mip_min <= d <= mip_max), so unlike the
-    center-depth-sample test this NEVER misses an updating brick at
-    silhouettes — no dilation pass needed. The mip is tiny (30x40 cells
-    for 480x640 frames), so the whole lookup is ~Hm row-gathers per
-    (tile, frame) instead of 1024 XLA gathers (~0.14 G elem/s).
-    """
-    t = pl.program_id(0)
-    bd, bh, bw = brick_dims
-    ox, oy, oz = meta_ref[0], meta_ref[1], meta_ref[2]
-    voxel = meta_ref[3]
-    trunc = meta_ref[4]
-    depth_max = meta_ref[5]
-    mip_cell = meta_ref[6].astype(jnp.int32)
-    NB = meta_ref[7].astype(jnp.int32)
-    fx, fy, cx, cy = intr_ref[0], intr_ref[1], intr_ref[2], intr_ref[3]
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    bid = t * 1024 + sub * 128 + lane
-    in_range = bid < NB
-    bz = bid // (bh * bw)
-    by = (bid // bw) % bh
-    bx = bid % bw
-    ccx = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
-    ccy = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
-    ccz = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
-    r_b = 0.5 * voxel * float(np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2))
-    band = trunc + r_b + 2e-3
-
-    active = jnp.zeros((8, 128), dtype=jnp.float32)
-    for f in range(F):
-        r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
-        r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
-        r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
-        x = r00 * ccx + r01 * ccy + r02 * ccz + t0
-        y = r10 * ccx + r11 * ccy + r12 * ccz + t1
-        z = r20 * ccx + r21 * ccy + r22 * ccz + t2
-        zs = jnp.maximum(z, 1e-6)
-        uci = jnp.clip((x / zs * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1)
-        vci = jnp.clip((y / zs * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1)
-        p = jnp.zeros((8, 128), dtype=jnp.int32)
-        for r in range(Hm):
-            row = jnp.broadcast_to(mip_ref[f, r], (8, 128))
-            g = jnp.take_along_axis(row, uci, axis=1)
-            p = jnp.where(vci == r, g, p)
-        lo = (p & 0xFFFF).astype(jnp.float32) * 1e-3
-        hi = jax.lax.shift_right_logical(p, 16).astype(jnp.float32) * 1e-3
-        hit = (
-            (z > 1e-4)
-            & (lo < 65.534)
-            & (lo < depth_max)
-            & (z > lo - band)
-            & (z < hi + band)
-        )
-        active = jnp.maximum(active, hit.astype(jnp.float32))
-    out_ref[0] = jnp.where(in_range, active, 0.0)
-
-
-@partial(
-    jax.jit,
-    static_argnames=("brick_dims", "depth_max", "mip_cell", "interpret"),
-)
-def active_brick_mask_pallas(
-    brick_dims, origin, voxel_size, trunc,
-    mip, T_w2c, fx, fy, cx, cy,
-    depth_max=3.0, mip_cell=16, interpret=False,
-):
-    """(NB,) bool via :func:`_active_mask_kernel` (conservative band test).
-
-    ``mip`` is the packed output of :func:`_build_depth_mip` for the frame
-    chunk. ~0.1 ms per 8-frame chunk at 512^3 vs ~5 ms for the XLA
-    gather-based tests.
-    """
-    bd, bh, bw = brick_dims
-    NB = bd * bh * bw
-    F, Hm, Wm = mip.shape
-    n_tiles = (NB + 1023) // 1024
-    assert Wm <= 128, f"mip width {Wm} > 128 lanes; raise mip_cell"
-    mip_p = jnp.zeros((F, Hm, 128), dtype=jnp.int32)
-    mip_p = mip_p.at[:, :, :Wm].set(mip.astype(jnp.int32))
-    meta = jnp.concatenate(
-        [
-            origin.astype(jnp.float32),
-            jnp.asarray(
-                [voxel_size, trunc, depth_max, float(mip_cell), float(NB)],
-                dtype=jnp.float32,
-            ),
-        ]
-    )
-    kernel = partial(
-        _active_mask_kernel, F=F, Hm=Hm, Wm=min(Wm, 128),
-        brick_dims=brick_dims,
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(meta, T_w2c.reshape(-1, 16), jnp.asarray([fx, fy, cx, cy], jnp.float32), mip_p)
-    return out.reshape(-1)[:NB] > 0.5
+        d = depths[f].reshape(-1)[vi * Wd + ui] / depth_scale
+        hit = inside & (d > 0) & (d < depth_max) & (jnp.abs(d - z) < band)
+        ebits = ebits | jnp.where(hit, jnp.int32(1 << f), 0)
+    dense = jnp.zeros(NB + 1, dtype=jnp.int32).at[cand].max(ebits)
+    m = dense[:NB].reshape(bd, bh, bw)
+    for ax in range(3):
+        m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
+    return m.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +436,7 @@ def _integrate_kernel_dyn(
     meta_ref,  # (8,) f32 SMEM: origin xyz, voxel, trunc, max_weight, id_base, n_real
     poses_ref,  # (F, 16) f32 SMEM
     intr_ref,  # (4,) f32 SMEM
-    mip_ref,  # (F, Hm, Wm) i32 SMEM: packed min/max depth mip
+    fbits_ref,  # (M,) i32 SMEM: per-brick frame bitmask (bit f = integrate frame f)
     depths_ref,  # (F, Hd, Wd) f32 VMEM resident
     sdf_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
     w_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
@@ -628,7 +454,6 @@ def _integrate_kernel_dyn(
     brick_dims: tuple,
     depth_scale: float,
     depth_max: float,
-    mip_cell: int,
 ):
     """Dynamic-trip-count variant of :func:`_integrate_kernel`.
 
@@ -639,15 +464,13 @@ def _integrate_kernel_dyn(
     block copies even for scratch-brick revisits (data-dependent index
     maps defeat Pallas' revisit elision), which at max_active=32768 wasted
     ~16 ms per chunk. Measured DMA floor of this loop: ~0.57 us/brick,
-    fully hidden behind the ~1.3 us/brick 8-frame compute.
+    fully hidden behind the per-frame compute.
 
-    Per (brick, frame) an OCCLUSION SKIP bypasses the sampling loop when
-    the brick lies entirely behind every observed depth in its mip
-    neighborhood: every voxel has z >= z_center - r_brick and d <= mip_max,
-    so mip_max < z_center - r_brick - trunc implies sdf_obs < -trunc for
-    all voxels — provably no update. On an orbit roughly half the frames
-    per brick are occluded (far side), halving VPU work with bit-identical
-    results.
+    Per (brick, frame) the sampling body runs ONLY when the frame's bit is
+    set in ``fbits_ref`` (the per-frame conservative active test of
+    :func:`_active_mask_kernel`): integration work is sum_f |active_f|
+    instead of |union| * F — on an orbit the 8-frame union is several
+    times any single frame's truncation shell.
     """
     NSLOT = 4
     n = meta_ref[7].astype(jnp.int32)
@@ -722,20 +545,13 @@ def _integrate_kernel_dyn(
         cp_in_w(k).wait()
 
         bid = brick_ids_ref[k] + meta_ref[6].astype(jnp.int32)
+        fb = fbits_ref[k]
         bz = bid // (bh * bw)
         by = (bid // bw) % bh
         bx = bid % bw
         wx = ox + (bx.astype(jnp.float32) * BRICK_X + lx) * voxel
         wy = oy + (by.astype(jnp.float32) * BRICK_Y + ly) * voxel
         wz = oz + (bz.astype(jnp.float32) * BRICK_Z + lz) * voxel
-        # brick center + radius (scalars) for the occlusion skip
-        cxw = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
-        cyw = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
-        czw = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
-        r_b = 0.5 * voxel * float(
-            np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2)
-        )
-        _, Hm, Wm = mip_ref.shape
 
         sdf = sdf_bufs[s]
         w = w_bufs[s]
@@ -744,19 +560,9 @@ def _integrate_kernel_dyn(
             r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
             r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
 
-            # occlusion skip (scalar): mip_max < z_center - r_b - trunc
-            # implies every voxel's sdf_obs < -trunc -> no update possible.
-            ccz = r20 * cxw + r21 * cyw + r22 * czw + t2
-            ccx = r00 * cxw + r01 * cyw + r02 * czw + t0
-            ccy = r10 * cxw + r11 * cyw + r12 * czw + t1
-            zc = jnp.maximum(ccz, 1e-3)
-            uci = jnp.clip((ccx / zc * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1)
-            vci = jnp.clip((ccy / zc * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1)
-            mi = mip_ref[f, vci, uci]
-            hi_m = (mi >> 16).astype(jnp.float32) * 1e-3
-            hit = (ccz > -r_b) & (hi_m > 0.0) & (
-                ccz - r_b - trunc - 2e-3 < hi_m
-            )
+            # per-(brick, frame) skip: bit f of the conservative active
+            # test — no in-band voxel exists in this frame when clear
+            hit = ((fb >> f) & 1) > 0
 
             def _frame(args):
                 sdf, w = args
@@ -840,14 +646,12 @@ def _integrate_kernel_dyn(
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "brick_dims", "depth_scale", "depth_max", "max_weight", "mip_cell"
-    ),
+    static_argnames=("brick_dims", "depth_scale", "depth_max", "max_weight"),
     donate_argnums=(0, 1),
 )
 def _integrate_bricks_dyn(
-    sdf_b, weight_b, brick_ids, meta, poses_flat, intr, mip, depths,
-    brick_dims, depth_scale, depth_max, max_weight, mip_cell=16,
+    sdf_b, weight_b, brick_ids, meta, poses_flat, intr, fbits, depths,
+    brick_dims, depth_scale, depth_max, max_weight,
 ):
     """Dispatch the dynamic-trip kernel (meta[7] = live brick count)."""
     F, Hd, Wd = depths.shape
@@ -855,7 +659,7 @@ def _integrate_bricks_dyn(
     kernel = partial(
         _integrate_kernel_dyn,
         F=F, Hd=Hd, Wd=Wd, brick_dims=brick_dims,
-        depth_scale=depth_scale, depth_max=depth_max, mip_cell=mip_cell,
+        depth_scale=depth_scale, depth_max=depth_max,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -864,7 +668,7 @@ def _integrate_bricks_dyn(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
             pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
             pl.BlockSpec(memory_space=pltpu.SMEM),  # intr
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mip (packed min/max)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # fbits (per-brick frame bits)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # depths (resident)
             pl.BlockSpec(memory_space=pl.ANY),  # sdf (HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # weight (HBM)
@@ -891,7 +695,7 @@ def _integrate_bricks_dyn(
         grid_spec=grid_spec,
         input_output_aliases={6: 0, 7: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(brick_ids, meta, poses_flat, intr, mip.astype(jnp.int32), depths, sdf_b, weight_b)
+    )(brick_ids, meta, poses_flat, intr, fbits.astype(jnp.int32), depths, sdf_b, weight_b)
 
 
 @partial(
@@ -989,10 +793,11 @@ def _integrate_device_all(
     n_active = jnp.array(0, dtype=jnp.int32)
     F_all = depths.shape[0]
     Hd, Wd = depths.shape[1:]
-    mip_cell = next(
+    # fine cells for the occupancy mask (tightness vs dilation reach)
+    occ_cell = next(
         (
             c
-            for c in (16, 8, 32)
+            for c in (8, 16, 32)
             if Hd % c == 0 and Wd % c == 0 and Wd // c <= 128
         ),
         None,
@@ -1000,32 +805,49 @@ def _integrate_device_all(
     for f0 in range(0, F_all, frames_per_dispatch):
         d_chunk = depths[f0 : f0 + frames_per_dispatch]
         T_chunk = T_w2c_all[f0 : f0 + frames_per_dispatch]
-        if mip_cell is not None:
-            mip = _build_depth_mip(d_chunk, depth_scale, mip_cell)
-            # conservative band test: already a superset of every brick
-            # the kernel can update in-band, so no dilation is needed.
-            mask = active_brick_mask_pallas(
+        F_chunk = d_chunk.shape[0]
+        if occ_cell is not None:
+            occ0, occ1, binp = _build_depth_occupancy(
+                d_chunk, depth_scale, depth_max, occ_cell
+            )
+            # conservative per-frame occupancy test: already a superset of
+            # every (brick, frame) the kernel can update in-band, so no
+            # dilation needed.
+            bits = active_brick_bits_pallas(
                 brick_dims, origin, voxel_size, trunc,
-                mip, T_chunk, intr[0], intr[1], intr[2], intr[3],
-                depth_max, mip_cell,
+                occ0, occ1, binp, T_chunk,
+                intr[0], intr[1], intr[2], intr[3],
+                depth_max, occ_cell,
             )
+            # refine: exact per-frame center test on the (few) occupancy
+            # candidates + brick-space dilation, intersected with the
+            # occupancy superset. Coverage = round-1's exact+dilate class;
+            # tightness ~2x better than occupancy alone (cell/bin
+            # quantization bleeds ~40 px at silhouettes). XLA gathers are
+            # fine HERE because only ~2-3k candidate bricks remain.
+            bits = bits & _exact_frame_bits_dilated(
+                bits, d_chunk, T_chunk, origin, voxel_size, trunc,
+                intr, brick_dims, min(max_active, 8192), depth_scale,
+                depth_max,
+            )
+            mask = bits != 0
         else:
-            # frames not divisible by any mip cell: an always-hit 1x1 mip
-            # disables the occlusion skip (kernel stays exact) and the
-            # center-sample mask (+dilation) supplies the active set.
-            mip = jnp.full(
-                (d_chunk.shape[0], 1, 1), (65535 << 16), dtype=jnp.uint32
-            )
+            # frames not divisible by any mip cell: the center-sample mask
+            # (+dilation below) supplies the active set; all frame bits on
+            # (the kernel stays exact, just without the per-frame skip).
             mask = active_brick_mask(
                 brick_dims, origin, voxel_size, trunc,
                 d_chunk, T_chunk, intr[0], intr[1], intr[2], intr[3],
                 depth_scale, depth_max,
             )
-        if dilate_active or mip_cell is None:
+            bits = jnp.where(mask, jnp.int32((1 << F_chunk) - 1), 0)
+        if dilate_active or occ_cell is None:
             m = mask.reshape(bd, bh, bw)
             for ax in range(3):
                 m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
             mask = m.reshape(-1)
+            # dilated-in bricks integrate all frames (conservative)
+            bits = jnp.where(mask, bits | jnp.int32((1 << F_chunk) - 1), 0)
         n_chunk = jnp.minimum(
             jnp.sum(mask).astype(jnp.int32), jnp.int32(max_active)
         )
@@ -1040,11 +862,14 @@ def _integrate_device_all(
             ]
         )
         (ids,) = jnp.nonzero(mask, size=max_active, fill_value=nb_scratch)
+        ids = ids.astype(jnp.int32)
+        fbits = jnp.concatenate([bits, jnp.zeros(1, jnp.int32)])[
+            jnp.minimum(ids, bits.shape[0])
+        ]
         sdf_b, weight_b = _integrate_bricks_dyn(
-            sdf_b, weight_b, ids.astype(jnp.int32), meta,
-            T_chunk.reshape(-1, 16), intr, mip, d_chunk,
+            sdf_b, weight_b, ids, meta,
+            T_chunk.reshape(-1, 16), intr, fbits, d_chunk,
             brick_dims, depth_scale, depth_max, max_weight,
-            mip_cell=mip_cell if mip_cell is not None else 16,
         )
     return sdf_b, weight_b, n_active
 
