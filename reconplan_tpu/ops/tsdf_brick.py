@@ -65,6 +65,7 @@ class BrickGrid(NamedTuple):
     origin: jnp.ndarray  # (3,)
     voxel_size: float
     trunc: float
+    rgb: jnp.ndarray | None = None  # (NB + 1, 8, 128) i32 packed B<<16|G<<8|R
 
     @property
     def brick_dims(self):
@@ -72,7 +73,8 @@ class BrickGrid(NamedTuple):
         return (D // BRICK_Z, H // BRICK_Y, W // BRICK_X)
 
 
-def make_brick_grid(dims, origin, voxel_size, trunc=None) -> BrickGrid:
+def make_brick_grid(dims, origin, voxel_size, trunc=None,
+                    with_color=False) -> BrickGrid:
     D, H, W = dims
     if D % BRICK_Z or H % BRICK_Y or W % BRICK_X:
         raise ValueError(f"dims {dims} must be multiples of (8, 8, 16)")
@@ -86,19 +88,36 @@ def make_brick_grid(dims, origin, voxel_size, trunc=None) -> BrickGrid:
         origin=jnp.asarray(origin, dtype=jnp.float32),
         voxel_size=float(voxel_size),
         trunc=float(trunc),
+        rgb=(
+            jnp.zeros((nb + 1, BRICK_Z, BRICK_Y * BRICK_X), dtype=jnp.int32)
+            if with_color
+            else None
+        ),
     )
+
+
+def _debrick(a, dims):
+    D, H, W = dims
+    bd, bh, bw = D // BRICK_Z, H // BRICK_Y, W // BRICK_X
+    a = a[:-1].reshape(bd, bh, bw, BRICK_Z, BRICK_Y, BRICK_X)
+    return a.transpose(0, 3, 1, 4, 2, 5).reshape(D, H, W)
 
 
 def to_dense(grid: BrickGrid):
     """Bricked -> dense (D, H, W) sdf/weight (for extraction)."""
-    D, H, W = grid.dims
-    bd, bh, bw = grid.brick_dims
+    return _debrick(grid.sdf, grid.dims), _debrick(grid.weight, grid.dims)
 
-    def debrick(a):
-        a = a[:-1].reshape(bd, bh, bw, BRICK_Z, BRICK_Y, BRICK_X)
-        return a.transpose(0, 3, 1, 4, 2, 5).reshape(D, H, W)
 
-    return debrick(grid.sdf), debrick(grid.weight)
+def to_dense_color(grid: BrickGrid):
+    """Bricked packed RGB -> dense (D, H, W, 3) f32 in [0, 1]."""
+    if grid.rgb is None:
+        raise ValueError("grid has no color channel (with_color=False)")
+    p = _debrick(grid.rgb, grid.dims)
+    return (
+        jnp.stack([p & 255, (p >> 8) & 255, (p >> 16) & 255], axis=-1)
+        .astype(jnp.float32)
+        / 255.0
+    )
 
 
 def from_dense(sdf, weight, origin, voxel_size, trunc) -> BrickGrid:
@@ -218,6 +237,166 @@ def _build_depth_occupancy(
             occ0 = occ0 | jnp.roll(occ0, 1, ax) | jnp.roll(occ0, -1, ax)
             occ1 = occ1 | jnp.roll(occ1, 1, ax) | jnp.roll(occ1, -1, ax)
     return occ0, occ1, jnp.stack([b0, bs])
+
+
+def _lowmask(n):
+    """Vector i32 bits [0..n] inclusive; n < 0 -> 0, n >= 31 -> all ones."""
+    base = jnp.left_shift(jnp.int32(1), jnp.clip(n + 1, 0, 31)) - 1
+    base = jnp.where(n >= 31, jnp.int32(-1), base)
+    return jnp.where(n < 0, jnp.int32(0), base)
+
+
+def _active_mask_kernel(
+    meta_ref,  # (8,) f32 SMEM: origin xyz, voxel, trunc, depth_max, mip_cell, NB
+    poses_ref,  # (F, 16) f32 SMEM (w2c)
+    intr_ref,  # (4,) f32 SMEM
+    binp_ref,  # (2,) f32 SMEM: occupancy bin origin b0, bin size bs
+    occ0_ref,  # (F, Hm, 128) i32 VMEM: occupancy bins 0-31 (lanes >= Wm pad)
+    occ1_ref,  # (F, Hm, 128) i32 VMEM: occupancy bins 32-63
+    out_ref,  # (1, 8, 128) i32 block: bit f set = active in frame f
+    *,
+    F: int,
+    Hm: int,
+    Wm: int,
+    brick_dims: tuple,
+):
+    """Per-tile (1024 bricks) conservative PER-FRAME occupancy test against
+    the depth bin mip of :func:`_build_depth_occupancy`, emitting an i32
+    frame bitmask per brick.
+
+    A brick is active in frame f when some occupied depth bin in its
+    neighborhood overlaps [z_c - band, z_c + band], band = trunc +
+    r_brick + margin: a voxel can only satisfy |d - z| < trunc when
+    |z_c - d| <= r_b + trunc and d's bin is occupied, so this NEVER
+    misses an in-band update — and unlike a [min, max]-interval band test
+    it does NOT activate the empty slab between object and background at
+    silhouettes. The PER-FRAME bits let the integration kernel skip
+    (brick, frame) pairs outside the frame's shell, so integration work
+    is sum_f |active_f| instead of |union| * F (an orbit's 8-frame union
+    is several times any single frame's shell). The mip is tiny (60x80
+    cells for 480x640 frames), so the lookup is ~2*Hm row-gathers per
+    (tile, frame) instead of 1024 XLA gathers (~0.14 G elem/s).
+    """
+    t = pl.program_id(0)
+    bd, bh, bw = brick_dims
+    ox, oy, oz = meta_ref[0], meta_ref[1], meta_ref[2]
+    voxel = meta_ref[3]
+    trunc = meta_ref[4]
+    depth_max = meta_ref[5]
+    mip_cell = meta_ref[6].astype(jnp.int32)
+    NB = meta_ref[7].astype(jnp.int32)
+    fx, fy, cx, cy = intr_ref[0], intr_ref[1], intr_ref[2], intr_ref[3]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    bid = t * 1024 + sub * 128 + lane
+    in_range = bid < NB
+    bz = bid // (bh * bw)
+    by = (bid // bw) % bh
+    bx = bid % bw
+    ccx = ox + (bx.astype(jnp.float32) * BRICK_X + BRICK_X / 2) * voxel
+    ccy = oy + (by.astype(jnp.float32) * BRICK_Y + BRICK_Y / 2) * voxel
+    ccz = oz + (bz.astype(jnp.float32) * BRICK_Z + BRICK_Z / 2) * voxel
+    r_b = 0.5 * voxel * float(np.sqrt(BRICK_X**2 + BRICK_Y**2 + BRICK_Z**2))
+    band = trunc + r_b + 2e-3
+    b0 = binp_ref[0]
+    inv_bs = 1.0 / binp_ref[1]
+
+    active = jnp.zeros((8, 128), dtype=jnp.int32)
+    for f in range(F):
+        r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
+        r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
+        r20 = poses_ref[f, 8]; r21 = poses_ref[f, 9]; r22 = poses_ref[f, 10]; t2 = poses_ref[f, 11]
+        x = r00 * ccx + r01 * ccy + r02 * ccz + t0
+        y = r10 * ccx + r11 * ccy + r12 * ccz + t1
+        z = r20 * ccx + r21 * ccy + r22 * ccz + t2
+        zs = jnp.maximum(z, 1e-6)
+        uci = jnp.clip((x / zs * fx + cx).astype(jnp.int32) // mip_cell, 0, Wm - 1)
+        vci = jnp.clip((y / zs * fy + cy).astype(jnp.int32) // mip_cell, 0, Hm - 1)
+        g0 = jnp.zeros((8, 128), dtype=jnp.int32)
+        g1 = jnp.zeros((8, 128), dtype=jnp.int32)
+        for r in range(Hm):
+            row0 = jnp.broadcast_to(occ0_ref[f, r], (8, 128))
+            row1 = jnp.broadcast_to(occ1_ref[f, r], (8, 128))
+            sel = vci == r
+            g0 = jnp.where(sel, jnp.take_along_axis(row0, uci, axis=1), g0)
+            g1 = jnp.where(sel, jnp.take_along_axis(row1, uci, axis=1), g1)
+        # bins overlapping [z - band, z + band] (floor-extended: a bin
+        # [b0 + b*bs, b0 + (b+1)*bs) intersects iff b_lo - 1 <= b <= b_hi)
+        b_lo = jnp.floor((z - band - b0) * inv_bs).astype(jnp.int32) - 1
+        b_hi = jnp.floor((z + band - b0) * inv_bs).astype(jnp.int32)
+        m0 = _lowmask(jnp.minimum(b_hi, 31)) & ~_lowmask(jnp.minimum(b_lo, 32) - 1)
+        m1 = _lowmask(b_hi - 32) & ~_lowmask(b_lo - 33)
+        hit = (z > 1e-4) & (((g0 & m0) | (g1 & m1)) != 0)
+        active = active | jnp.where(hit, jnp.int32(1 << f), 0)
+    out_ref[0] = jnp.where(in_range, active, 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("brick_dims", "depth_max", "mip_cell", "interpret"),
+)
+def active_brick_bits_pallas(
+    brick_dims, origin, voxel_size, trunc,
+    occ0, occ1, binp, T_w2c, fx, fy, cx, cy,
+    depth_max=3.0, mip_cell=8, interpret=False,
+):
+    """(NB,) i32 per-frame active bits via :func:`_active_mask_kernel`
+    (conservative occupancy test; bit f set = brick active in frame f,
+    union mask = bits != 0).
+
+    ``occ0``/``occ1``/``binp`` are the depth-bin occupancy planes and bin
+    parameters of :func:`_build_depth_occupancy` for the frame chunk
+    (same cell size and dilation rounds). ~1 ms per 8-frame chunk at
+    512^3 vs ~5 ms for the XLA gather-based tests, at ~exact+dilate
+    tightness.
+    """
+    bd, bh, bw = brick_dims
+    NB = bd * bh * bw
+    F, Hm, Wm = occ0.shape
+    n_tiles = (NB + 1023) // 1024
+    assert Wm <= 128, f"mip width {Wm} > 128 lanes; raise mip_cell"
+
+    def pad_lanes(a):
+        p = jnp.zeros((F, Hm, 128), dtype=jnp.int32)
+        return p.at[:, :, :Wm].set(a.astype(jnp.int32))
+
+    meta = jnp.concatenate(
+        [
+            origin.astype(jnp.float32),
+            jnp.asarray(
+                [voxel_size, trunc, depth_max, float(mip_cell), float(NB)],
+                dtype=jnp.float32,
+            ),
+        ]
+    )
+    kernel = partial(
+        _active_mask_kernel, F=F, Hm=Hm, Wm=min(Wm, 128),
+        brick_dims=brick_dims,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, 128), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(
+        meta, T_w2c.reshape(-1, 16),
+        jnp.asarray([fx, fy, cx, cy], jnp.float32),
+        binp.astype(jnp.float32),
+        pad_lanes(occ0), pad_lanes(occ1),
+    )
+    return out.reshape(-1)[:NB]
 
 
 def _exact_frame_bits_dilated(
@@ -438,41 +617,53 @@ def _integrate_kernel_dyn(
     intr_ref,  # (4,) f32 SMEM
     fbits_ref,  # (M,) i32 SMEM: per-brick frame bitmask (bit f = integrate frame f)
     depths_ref,  # (F, Hd, Wd) f32 VMEM resident
-    sdf_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
-    w_hbm_ref,  # (NB+1, 8, 128) ANY (aliased output)
-    # outputs (aliased)
-    sdf_out_ref,
-    w_out_ref,
-    # scratch
-    sdf_bufs,  # (NSLOT, 8, 128) VMEM
-    w_bufs,  # (NSLOT, 8, 128) VMEM
-    in_s_sem, in_w_sem, out_s_sem, out_w_sem,  # (NSLOT,) DMA sems
-    *,
+    # with_color adds: colors_ref (F, Hd, Wd) i32 VMEM (packed B<<16|G<<8|R)
+    # then: sdf/weight[/rgb] HBM refs (aliased outputs), the matching
+    # output refs, NSLOT VMEM buffers per plane, and in/out DMA semaphores
+    *rest,
     F: int,
     Hd: int,
     Wd: int,
     brick_dims: tuple,
     depth_scale: float,
     depth_max: float,
+    with_color: bool,
 ):
     """Dynamic-trip-count variant of :func:`_integrate_kernel`.
 
     One grid step; a ``fori_loop`` runs EXACTLY ``n_real`` iterations
-    (meta[7]), double-buffering each brick's sdf/weight rows HBM<->VMEM
-    through NSLOT slots with 2-ahead prefetch. This removes the padding
-    cost of the fixed-grid kernel entirely: grid steps pay ~0.5 us of
-    block copies even for scratch-brick revisits (data-dependent index
-    maps defeat Pallas' revisit elision), which at max_active=32768 wasted
-    ~16 ms per chunk. Measured DMA floor of this loop: ~0.57 us/brick,
-    fully hidden behind the per-frame compute.
+    (meta[7]), double-buffering each brick's sdf/weight (and packed-RGB
+    when ``with_color``) rows HBM<->VMEM through NSLOT slots with 2-ahead
+    prefetch. This removes the padding cost of the fixed-grid kernel
+    entirely: grid steps pay ~0.5 us of block copies even for
+    scratch-brick revisits (data-dependent index maps defeat Pallas'
+    revisit elision), which at a 32768 cap wasted ~16 ms per chunk.
+    Measured DMA floor of this loop: ~0.57 us/brick, mostly hidden behind
+    the per-frame compute.
 
     Per (brick, frame) the sampling body runs ONLY when the frame's bit is
     set in ``fbits_ref`` (the per-frame conservative active test of
     :func:`_active_mask_kernel`): integration work is sum_f |active_f|
     instead of |union| * F — on an orbit the 8-frame union is several
     times any single frame's truncation shell.
+
+    Color follows the dense engine's semantics (ops/tsdf.py:148-153;
+    Open3D's weighted running average, ref stitcher.py:21-48): per-channel
+    c = (c*w + c_obs*w_obs) / w_new, stored packed u8 per channel (one
+    extra (NB+1, 8, 128) i32 plane; quantization drift is < 1/255 per
+    frame and bounded by the running average).
     """
     NSLOT = 4
+    if with_color:
+        (colors_ref, _sdf_hbm, _w_hbm, _rgb_hbm,
+         sdf_out_ref, w_out_ref, rgb_out_ref,
+         sdf_bufs, w_bufs, rgb_bufs,
+         in_s_sem, in_w_sem, in_c_sem,
+         out_s_sem, out_w_sem, out_c_sem) = rest
+    else:
+        (_sdf_hbm, _w_hbm, sdf_out_ref, w_out_ref,
+         sdf_bufs, w_bufs,
+         in_s_sem, in_w_sem, out_s_sem, out_w_sem) = rest
     n = meta_ref[7].astype(jnp.int32)
     bd, bh, bw = brick_dims
 
@@ -494,39 +685,34 @@ def _integrate_kernel_dyn(
     ly = (lane // BRICK_X).astype(jnp.float32)
     lx = (lane % BRICK_X).astype(jnp.float32)
 
-    def cp_in_s(k):
-        s = jax.lax.rem(k, NSLOT)
-        return pltpu.make_async_copy(
-            sdf_out_ref.at[brick_ids_ref[k]], sdf_bufs.at[s], in_s_sem.at[s]
-        )
+    planes = [(sdf_bufs, sdf_out_ref, in_s_sem, out_s_sem),
+              (w_bufs, w_out_ref, in_w_sem, out_w_sem)]
+    if with_color:
+        planes.append((rgb_bufs, rgb_out_ref, in_c_sem, out_c_sem))
 
-    def cp_in_w(k):
+    def cp_in(k):
         s = jax.lax.rem(k, NSLOT)
-        return pltpu.make_async_copy(
-            w_out_ref.at[brick_ids_ref[k]], w_bufs.at[s], in_w_sem.at[s]
-        )
+        return [
+            pltpu.make_async_copy(out.at[brick_ids_ref[k]], buf.at[s], sem.at[s])
+            for buf, out, sem, _ in planes
+        ]
 
-    def cp_out_s(k):
+    def cp_out(k):
         s = jax.lax.rem(k, NSLOT)
-        return pltpu.make_async_copy(
-            sdf_bufs.at[s], sdf_out_ref.at[brick_ids_ref[k]], out_s_sem.at[s]
-        )
-
-    def cp_out_w(k):
-        s = jax.lax.rem(k, NSLOT)
-        return pltpu.make_async_copy(
-            w_bufs.at[s], w_out_ref.at[brick_ids_ref[k]], out_w_sem.at[s]
-        )
+        return [
+            pltpu.make_async_copy(buf.at[s], out.at[brick_ids_ref[k]], sem.at[s])
+            for buf, out, _, sem in planes
+        ]
 
     @pl.when(n > 0)
     def _():
-        cp_in_s(0).start()
-        cp_in_w(0).start()
+        for c in cp_in(0):
+            c.start()
 
     @pl.when(n > 1)
     def _():
-        cp_in_s(1).start()
-        cp_in_w(1).start()
+        for c in cp_in(1):
+            c.start()
 
     def body(k, carry):
         s = jax.lax.rem(k, NSLOT)
@@ -535,14 +721,14 @@ def _integrate_kernel_dyn(
         def _():
             @pl.when(k - 2 >= 0)
             def _():
-                cp_out_s(k - 2).wait()
-                cp_out_w(k - 2).wait()
+                for c in cp_out(k - 2):
+                    c.wait()
 
-            cp_in_s(k + 2).start()
-            cp_in_w(k + 2).start()
+            for c in cp_in(k + 2):
+                c.start()
 
-        cp_in_s(k).wait()
-        cp_in_w(k).wait()
+        for c in cp_in(k):
+            c.wait()
 
         bid = brick_ids_ref[k] + meta_ref[6].astype(jnp.int32)
         fb = fbits_ref[k]
@@ -555,6 +741,14 @@ def _integrate_kernel_dyn(
 
         sdf = sdf_bufs[s]
         w = w_bufs[s]
+        if with_color:
+            packed = rgb_bufs[s]
+            cr = (packed & 255).astype(jnp.float32)
+            cg = ((packed >> 8) & 255).astype(jnp.float32)
+            cb = ((packed >> 16) & 255).astype(jnp.float32)
+            state = (sdf, w, cr, cg, cb)
+        else:
+            state = (sdf, w)
         for f in range(F):  # static unroll over frames
             r00 = poses_ref[f, 0]; r01 = poses_ref[f, 1]; r02 = poses_ref[f, 2]; t0 = poses_ref[f, 3]
             r10 = poses_ref[f, 4]; r11 = poses_ref[f, 5]; r12 = poses_ref[f, 6]; t1 = poses_ref[f, 7]
@@ -565,7 +759,7 @@ def _integrate_kernel_dyn(
             hit = ((fb >> f) & 1) > 0
 
             def _frame(args):
-                sdf, w = args
+                sdf, w = args[0], args[1]
                 x = r00 * wx + r01 * wy + r02 * wz + t0
                 y = r10 * wx + r11 * wy + r12 * wz + t1
                 z = r20 * wx + r21 * wy + r22 * wz + t2
@@ -596,21 +790,33 @@ def _integrate_kernel_dyn(
                 ulc = jnp.clip(ul, 0, 127)
 
                 def _sample(H, v0):
+                    """Gather depth (and packed color) at the voxel
+                    projections from an (H, WIN_W) window rolled so the
+                    footprint starts at lane 0."""
                     v0 = pl.multiple_of(v0, 8)
+                    roll_by = jnp.where(shift == 0, 0, WIN_W - shift)
                     win = depths_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
-                    rolled = pltpu.roll(
-                        win, jnp.where(shift == 0, 0, WIN_W - shift), axis=1
-                    )
-                    wl = rolled[:, :128]
+                    wl = pltpu.roll(win, roll_by, axis=1)[:, :128]
                     vl = vi - v0
                     d = jnp.zeros_like(sdf)
+                    if with_color:
+                        cwin = colors_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
+                        cl = pltpu.roll(cwin, roll_by, axis=1)[:, :128]
+                        c = jnp.zeros_like(sdf, dtype=jnp.int32)
                     for r in range(H):
+                        sel = vl == r
                         row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
-                        g = jnp.take_along_axis(row, ulc, axis=1)
-                        d = jnp.where(vl == r, g, d)
-                    return d
+                        d = jnp.where(sel, jnp.take_along_axis(row, ulc, axis=1), d)
+                        if with_color:
+                            crow = jnp.broadcast_to(
+                                cl[r], (BRICK_Z, BRICK_Y * BRICK_X)
+                            )
+                            c = jnp.where(
+                                sel, jnp.take_along_axis(crow, ulc, axis=1), c
+                            )
+                    return (d, c) if with_color else (d, d)
 
-                d = jax.lax.cond(
+                d, cpk = jax.lax.cond(
                     fits_small,
                     lambda: _sample(FOOT_H, v0s),
                     lambda: _sample(WIN_H, v0f),
@@ -624,78 +830,112 @@ def _integrate_kernel_dyn(
                 tsdf_obs = jnp.clip(sdf_obs / trunc, -1.0, 1.0)
                 w_obs = ok.astype(jnp.float32)
                 w_new = w + w_obs
-                sdf_n = (sdf * w + tsdf_obs * w_obs) / jnp.maximum(w_new, 1.0)
+                inv = 1.0 / jnp.maximum(w_new, 1.0)
+                sdf_n = (sdf * w + tsdf_obs * w_obs) * inv
                 sdf_n = jnp.where(w_new > 0, sdf_n, 1.0)
-                return sdf_n, jnp.minimum(w_new, max_weight)
+                w_n = jnp.minimum(w_new, max_weight)
+                if not with_color:
+                    return sdf_n, w_n
+                cr, cg, cb = args[2], args[3], args[4]
+                cpk = cpk.astype(jnp.int32)
+                r_obs = (cpk & 255).astype(jnp.float32)
+                g_obs = ((cpk >> 8) & 255).astype(jnp.float32)
+                b_obs = ((cpk >> 16) & 255).astype(jnp.float32)
+                cr_n = (cr * w + r_obs * w_obs) * inv
+                cg_n = (cg * w + g_obs * w_obs) * inv
+                cb_n = (cb * w + b_obs * w_obs) * inv
+                return sdf_n, w_n, cr_n, cg_n, cb_n
 
-            sdf, w = jax.lax.cond(hit, _frame, lambda a: a, (sdf, w))
+            state = jax.lax.cond(hit, _frame, lambda a: a, state)
 
-        sdf_bufs[s] = sdf
-        w_bufs[s] = w
-        cp_out_s(k).start()
-        cp_out_w(k).start()
+        sdf_bufs[s] = state[0]
+        w_bufs[s] = state[1]
+        if with_color:
+            rq = jnp.clip(state[2] + 0.5, 0.0, 255.0).astype(jnp.int32)
+            gq = jnp.clip(state[3] + 0.5, 0.0, 255.0).astype(jnp.int32)
+            bq = jnp.clip(state[4] + 0.5, 0.0, 255.0).astype(jnp.int32)
+            rgb_bufs[s] = rq | (gq << 8) | (bq << 16)
+        for c in cp_out(k):
+            c.start()
         return carry
 
     jax.lax.fori_loop(0, n, body, 0)
     for i in range(4):
         @pl.when((n - 4 + i >= 0) & (n - 4 + i < n))
         def _():
-            cp_out_s(n - 4 + i).wait()
-            cp_out_w(n - 4 + i).wait()
+            for c in cp_out(n - 4 + i):
+                c.wait()
 
 
 @partial(
     jax.jit,
     static_argnames=("brick_dims", "depth_scale", "depth_max", "max_weight"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0, 1, 2),
 )
 def _integrate_bricks_dyn(
-    sdf_b, weight_b, brick_ids, meta, poses_flat, intr, fbits, depths,
-    brick_dims, depth_scale, depth_max, max_weight,
+    sdf_b, weight_b, rgb_b, brick_ids, meta, poses_flat, intr, fbits,
+    depths, colors, brick_dims, depth_scale, depth_max, max_weight,
 ):
-    """Dispatch the dynamic-trip kernel (meta[7] = live brick count)."""
+    """Dispatch the dynamic-trip kernel (meta[7] = live brick count).
+    ``rgb_b``/``colors`` None = depth-only."""
     F, Hd, Wd = depths.shape
     NSLOT = 4
+    with_color = rgb_b is not None
     kernel = partial(
         _integrate_kernel_dyn,
         F=F, Hd=Hd, Wd=Wd, brick_dims=brick_dims,
-        depth_scale=depth_scale, depth_max=depth_max,
+        depth_scale=depth_scale, depth_max=depth_max, with_color=with_color,
     )
+    n_planes = 3 if with_color else 2
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # intr
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fbits (per-brick frame bits)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # depths (resident)
+    ]
+    if with_color:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # colors
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * n_planes  # HBM planes
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # poses
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # intr
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # fbits (per-brick frame bits)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # depths (resident)
-            pl.BlockSpec(memory_space=pl.ANY),  # sdf (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # weight (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes,
         scratch_shapes=[
             pltpu.VMEM((NSLOT, BRICK_Z, BRICK_Y * BRICK_X), jnp.float32),
             pltpu.VMEM((NSLOT, BRICK_Z, BRICK_Y * BRICK_X), jnp.float32),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
-        ],
+        ]
+        + (
+            [pltpu.VMEM((NSLOT, BRICK_Z, BRICK_Y * BRICK_X), jnp.int32)]
+            if with_color
+            else []
+        )
+        + [pltpu.SemaphoreType.DMA((NSLOT,))] * (2 * n_planes),
     )
-    return pl.pallas_call(
+    # inputs: [ids] meta poses intr fbits depths [colors] sdf w [rgb]
+    base = 6 + (1 if with_color else 0)
+    aliases = {base + i: i for i in range(n_planes)}
+    operands = [brick_ids, meta, poses_flat, intr, fbits.astype(jnp.int32),
+                depths]
+    out_shape = [
+        jax.ShapeDtypeStruct(sdf_b.shape, sdf_b.dtype),
+        jax.ShapeDtypeStruct(weight_b.shape, weight_b.dtype),
+    ]
+    if with_color:
+        operands.append(colors.astype(jnp.int32))
+        out_shape.append(jax.ShapeDtypeStruct(rgb_b.shape, jnp.int32))
+    operands += [sdf_b, weight_b] + ([rgb_b] if with_color else [])
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(sdf_b.shape, sdf_b.dtype),
-            jax.ShapeDtypeStruct(weight_b.shape, weight_b.dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(brick_ids, meta, poses_flat, intr, fbits.astype(jnp.int32), depths, sdf_b, weight_b)
+    )(*operands)
+    if with_color:
+        return out
+    return out[0], out[1], None
 
 
 @partial(
@@ -767,10 +1007,10 @@ def _integrate_bricks(
         "brick_dims", "max_active", "voxel_size", "trunc", "depth_scale",
         "depth_max", "max_weight", "dilate_active", "frames_per_dispatch",
     ),
-    donate_argnums=(0, 1),
+    donate_argnums=(0, 1, 2),
 )
 def _integrate_device_all(
-    sdf_b, weight_b, poses, intr, depths, origin,
+    sdf_b, weight_b, rgb_b, poses, intr, depths, colors, origin,
     brick_dims, max_active, voxel_size, trunc,
     depth_scale, depth_max, max_weight, dilate_active, frames_per_dispatch,
 ):
@@ -866,12 +1106,15 @@ def _integrate_device_all(
         fbits = jnp.concatenate([bits, jnp.zeros(1, jnp.int32)])[
             jnp.minimum(ids, bits.shape[0])
         ]
-        sdf_b, weight_b = _integrate_bricks_dyn(
-            sdf_b, weight_b, ids, meta,
+        sdf_b, weight_b, rgb_b = _integrate_bricks_dyn(
+            sdf_b, weight_b, rgb_b, ids, meta,
             T_chunk.reshape(-1, 16), intr, fbits, d_chunk,
+            colors[f0 : f0 + frames_per_dispatch]
+            if colors is not None
+            else None,
             brick_dims, depth_scale, depth_max, max_weight,
         )
-    return sdf_b, weight_b, n_active
+    return sdf_b, weight_b, rgb_b, n_active
 
 
 def integrate_frames_bricked_device(
@@ -879,6 +1122,7 @@ def integrate_frames_bricked_device(
     depths,
     poses_cam_to_world,
     fx, fy, cx, cy,
+    colors=None,  # (F, H, W, 3) uint8/float, only if grid has a color plane
     depth_scale=1000.0,
     depth_max=3.0,
     max_weight=64.0,
@@ -888,9 +1132,13 @@ def integrate_frames_bricked_device(
 ):
     """Zero-host-sync brick integration (the production/bench path).
 
-    ``dilate_active`` defaults False: the pallas band mask is already a
-    conservative superset of every brick the kernel can update in-band
+    ``dilate_active`` defaults False: the pallas occupancy mask is already
+    a conservative superset of every brick the kernel can update in-band
     (dilation is forced on for frame sizes where no mip can be built).
+
+    ``colors`` enables the packed-RGB channel (requires a grid built with
+    ``with_color=True``); colors are u8 per channel, averaged with the
+    same weights as the TSDF (dense-engine / Open3D semantics).
 
     ``max_active`` is a static cap on bricks updated per dispatch; overflow
     drops the highest-index bricks (check the returned ``n_active`` device
@@ -899,13 +1147,35 @@ def integrate_frames_bricked_device(
     depths = jnp.asarray(depths, dtype=jnp.float32)
     poses = jnp.asarray(poses_cam_to_world, dtype=jnp.float32)
     intr = jnp.asarray([fx, fy, cx, cy], dtype=jnp.float32)
-    sdf_b, w_b, n_active = _integrate_device_all(
-        grid.sdf, grid.weight, poses, intr, depths, grid.origin,
+    packed = None
+    if colors is not None:
+        if grid.rgb is None:
+            raise ValueError(
+                "colors given but grid has no color plane — build with "
+                "make_brick_grid(..., with_color=True)"
+            )
+        c = jnp.asarray(colors)
+        if c.dtype != jnp.uint8:
+            c = jnp.clip(
+                jnp.where(c.max() > 1.5, c, c * 255.0), 0, 255
+            ).astype(jnp.uint8)
+        c = c.astype(jnp.int32)
+        packed = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+    sdf_b, w_b, rgb_b, n_active = _integrate_device_all(
+        grid.sdf, grid.weight,
+        grid.rgb if packed is not None else None,
+        poses, intr, depths, packed, grid.origin,
         grid.brick_dims, max_active, grid.voxel_size, grid.trunc,
         depth_scale, depth_max, max_weight, dilate_active,
         frames_per_dispatch,
     )
-    return grid._replace(sdf=sdf_b, weight=w_b), n_active
+    return (
+        grid._replace(
+            sdf=sdf_b, weight=w_b,
+            rgb=rgb_b if rgb_b is not None else grid.rgb,
+        ),
+        n_active,
+    )
 
 
 def integrate_frames_bricked(
