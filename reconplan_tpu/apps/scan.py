@@ -197,15 +197,24 @@ def run_scan(
             with_color=True,
         )
         pipe.integrate(frames)
-        mesh = pipe.extract_mesh()
+        mesh, mesh_colors = pipe.extract_mesh(with_colors=True)
         if verbose:
             print(f"TSDF fusion + MC: {time.time()-t0:.1f}s, {len(mesh)} triangles")
-        save_ply(os.path.join(out_dir, "fused_mesh.ply"), triangles=mesh)
+        save_ply(
+            os.path.join(out_dir, "fused_mesh.ply"),
+            triangles=mesh,
+            colors=mesh_colors.reshape(-1, 3) if len(mesh) else None,
+        )
         if len(mesh):
             ch, ab, ba = chamfer_to_mesh(mesh.reshape(-1, 3), gt_v, gt_f)
             results["fuse_chamfer_mm"] = ch * 1000
+            results["fuse_chamfer_ab_mm"] = ab * 1000
+            results["fuse_chamfer_ba_mm"] = ba * 1000
             if verbose:
-                print(f"fused mesh Chamfer vs GT: {ch*1000:.3f} mm")
+                print(
+                    f"fused mesh Chamfer vs GT: {ch*1000:.3f} mm "
+                    f"(mesh->gt {ab*1000:.3f}, gt->mesh {ba*1000:.3f})"
+                )
 
     if reconstruct in ("stitch", "both"):
         t0 = time.time()

@@ -25,9 +25,10 @@ class FusionPipeline:
 
     ``engine``:
       * "brick" (default): the Pallas brick-sparse kernel
-        (ops.tsdf_brick) — surface-proportional work, no color channel yet.
-      * "dense": the XLA gather kernel (ops.tsdf) — supports color, but is
-        gather-bound on TPU; fine for small grids and for CPU tests.
+        (ops.tsdf_brick) — surface-proportional work; color integrates as
+        a packed-RGB brick plane with dense-engine averaging semantics.
+      * "dense": the XLA gather kernel (ops.tsdf) — gather-bound on TPU;
+        fine for small grids and for CPU tests.
     """
 
     dims: tuple = (256, 256, 256)
@@ -40,13 +41,12 @@ class FusionPipeline:
     engine: str = "brick"
 
     def __post_init__(self):
-        if self.with_color and self.engine == "brick":
-            self.engine = "dense"  # brick engine is depth-only for now
         if self.engine == "brick":
             from reconplan_tpu.ops import tsdf_brick as tb
 
             self.grid = tb.make_brick_grid(
-                self.dims, self.origin, self.voxel_size, self.trunc
+                self.dims, self.origin, self.voxel_size, self.trunc,
+                with_color=self.with_color,
             )
         else:
             self.grid = tsdf_ops.make_grid(
@@ -66,6 +66,11 @@ class FusionPipeline:
                 jnp.asarray(frames.depth),
                 jnp.asarray(frames.poses),
                 fx, fy, cx, cy,
+                colors=(
+                    frames.color
+                    if self.with_color and frames.color is not None
+                    else None
+                ),
                 depth_scale=frames.depth_scale or self.depth_scale,
                 depth_max=self.depth_max,
             )
@@ -90,20 +95,51 @@ class FusionPipeline:
             from reconplan_tpu.ops import tsdf_brick as tb
 
             sdf, weight = tb.to_dense(self.grid)
+            color = (
+                tb.to_dense_color(self.grid)
+                if self.grid.rgb is not None
+                else jnp.zeros((0, 0, 0, 3), dtype=jnp.float32)
+            )
             return tsdf_ops.TSDFGrid(
-                sdf, weight, jnp.zeros((0, 0, 0, 3), dtype=jnp.float32),
+                sdf, weight, color,
                 self.grid.origin, jnp.float32(self.grid.voxel_size),
                 jnp.float32(self.grid.trunc),
             )
         return self.grid
 
-    def extract_mesh(self, weight_min=1.0):
-        """Zero iso-surface as a (T, 3, 3) triangle array (world frame)."""
-        return marching_cubes(self._dense_grid(), weight_min=weight_min)
+    def extract_mesh(self, weight_min=1.0, with_colors=False):
+        """Zero iso-surface as a (T, 3, 3) triangle array (world frame).
+        ``with_colors`` also returns (T, 3, 3) per-vertex RGB in [0, 1]
+        sampled from the color volume (nearest voxel)."""
+        grid = self._dense_grid()
+        tris = marching_cubes(grid, weight_min=weight_min)
+        if not with_colors:
+            return tris
+        return tris, self._sample_colors(grid, tris.reshape(-1, 3)).reshape(
+            tris.shape
+        )
 
-    def extract_points(self, weight_min=1.0):
-        pts, mask = tsdf_ops.extract_surface_points(self._dense_grid(), weight_min)
-        return np.asarray(pts)[np.asarray(mask)]
+    @staticmethod
+    def _sample_colors(grid, points):
+        """Nearest-voxel color lookup for world-space points."""
+        if not grid.has_color:
+            raise ValueError("grid has no color channel")
+        D, H, W = grid.sdf.shape
+        ijk = jnp.round(
+            (jnp.asarray(points) - grid.origin) / grid.voxel_size
+        ).astype(jnp.int32)
+        k = jnp.clip(ijk[:, 0], 0, W - 1)
+        j = jnp.clip(ijk[:, 1], 0, H - 1)
+        i = jnp.clip(ijk[:, 2], 0, D - 1)
+        return np.asarray(grid.color[i, j, k])
+
+    def extract_points(self, weight_min=1.0, with_colors=False):
+        grid = self._dense_grid()
+        pts, mask = tsdf_ops.extract_surface_points(grid, weight_min)
+        pts = np.asarray(pts)[np.asarray(mask)]
+        if not with_colors:
+            return pts
+        return pts, self._sample_colors(grid, pts)
 
 
 def fuse_frameset(frames: FrameSet, dims=(256, 256, 256), origin=None,

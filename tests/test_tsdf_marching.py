@@ -241,6 +241,59 @@ class TestBrickEngine:
         # overwhelming majority must match exactly
         assert np.quantile(diff, 0.99) < 1e-6, (diff.max(), np.quantile(diff, 0.99))
 
+    def test_brick_color_matches_dense_on_tpu(self):
+        """Packed-RGB brick color vs the dense engine's float color.
+
+        TPU-only: the zero-host-sync device path (dynamic-trip kernel with
+        DMA double buffering) has no interpret-mode equivalent; the CPU
+        suite covers the color packing/unpacking round trip instead
+        (test_color_plane_roundtrip)."""
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            pytest.skip("device color path requires the TPU backend")
+        from reconplan_tpu.ops import tsdf_brick as tb
+
+        depths, poses, K = make_sphere_depths(n_views=4, H=128, W=256,
+                                              fx=120.0, fy=120.0)
+        fx, fy, cx, cy = K
+        F, H, W = depths.shape
+        colors = np.zeros((F, H, W, 3), np.uint8)
+        colors[..., 0] = np.arange(W)[None, None, :] * 255 // W
+        colors[..., 1] = np.arange(H)[None, :, None] * 255 // H
+        colors[..., 2] = 128
+        dims = (64, 64, 64)
+        vox = 0.3 / 63
+        bg = tb.make_brick_grid(dims, (-0.15,) * 3, vox, with_color=True)
+        bg, _ = tb.integrate_frames_bricked_device(
+            bg, depths, poses, fx, fy, cx, cy, colors=colors
+        )
+        cb = np.asarray(tb.to_dense_color(bg))
+        wb = np.asarray(tb.to_dense(bg)[1])
+        dense = tsdf_ops.make_grid(dims, (-0.15,) * 3, vox, with_color=True)
+        dense = tsdf_ops.integrate_frames(
+            dense, jnp.asarray(depths), jnp.asarray(poses), fx, fy, cx, cy,
+            colors=jnp.asarray(colors, jnp.float32) / 255.0,
+        )
+        both = (wb > 0) & (np.asarray(dense.weight) > 0)
+        assert both.sum() > 100
+        diff = np.abs(cb - np.asarray(dense.color))[both]
+        # u8 quantization per repack bounds the drift
+        assert np.quantile(diff, 0.99) < 8 / 255.0, np.quantile(diff, 0.99)
+
+    def test_color_plane_roundtrip(self):
+        """Packed-RGB brick plane -> dense color round trip (CPU-safe)."""
+        from reconplan_tpu.ops import tsdf_brick as tb
+
+        g = tb.make_brick_grid((16, 16, 32), (0, 0, 0), 0.01, with_color=True)
+        rng = np.random.default_rng(0)
+        rgb = rng.integers(0, 256, size=g.rgb.shape, dtype=np.int32)
+        packed = rgb  # already packed-range values
+        g = g._replace(rgb=jnp.asarray(packed))
+        c = np.asarray(tb.to_dense_color(g))
+        assert c.shape == (16, 16, 32, 3)
+        assert c.min() >= 0.0 and c.max() <= 1.0
+
     def test_brick_sharded_matches_single_device(self):
         """8-way brick-sharded fusion must be bit-identical to single."""
         import jax
