@@ -28,22 +28,26 @@ def main(argv=None):
     res.load_workspace_graph(os.path.join(d, "workspace.npz"))
     res.load_resolution_graph(os.path.join(d, "resolution.npz"))
 
-    # rebuild solver state from the resolution for the metric pass: mark
-    # resolution nodes as configured on the workspace graph
-    import numpy as np
+    solver_path = os.path.join(d, "solver.npz")
+    if os.path.exists(solver_path):
+        # the build checkpoints TRUE connectivity — use it directly
+        res.load_solver_graph(solver_path)
+    else:
+        # legacy roadmap without solver.npz: restore configs onto the
+        # workspace graph and RECOMPUTE edge continuity honestly (the old
+        # has_config[i] and has_config[j] proxy reported 0% disconnection
+        # for any loaded roadmap)
+        import numpy as np
 
-    ws_pts = res.workspace.points
-    from reconplan_tpu.ops.nn import nearest_neighbor
-    import jax.numpy as jnp
+        from reconplan_tpu.ops.nn import nearest_neighbor
+        import jax.numpy as jnp
 
-    d_, idx = nearest_neighbor(jnp.asarray(res.points), jnp.asarray(ws_pts))
-    idx = np.asarray(idx)
-    res.solver.configs[idx] = res.configs
-    res.solver.has_config[idx] = True
-    for e, (i, j) in enumerate(res.workspace.edges):
-        res.solver.edge_connected[e] = bool(
-            res.solver.has_config[i] and res.solver.has_config[j]
-        )
+        print("no solver.npz — recomputing edge continuity from configs")
+        d_, idx = nearest_neighbor(jnp.asarray(res.points), jnp.asarray(res.workspace.points))
+        idx = np.asarray(idx)
+        res.solver.configs[idx] = res.configs
+        res.solver.has_config[idx] = True
+        res.solver.check_connections(list(idx))
     evaluate_roadmap(res)
 
 

@@ -62,21 +62,49 @@ def build_roadmap(
     sampling_method="random",
     seeds="auto",
     out_dir=None,
+    resume=False,
     verbose=True,
 ):
+    """Build (or ``resume`` an interrupted build of) a roadmap.
+
+    The solver graph is checkpointed to ``solver.npz`` after every
+    expansion sweep; with ``resume=True`` an existing
+    ``workspace.npz``/``solver.npz`` pair in ``out_dir`` is loaded and
+    expansion continues from the saved frontier (reference
+    ``redundancy.py:37-52`` ``load_existed_{ws,solver}_graph``).
+    """
     opts = load_problem(robot_name, rotation_type)
     robot = make_robot(opts)
     res = RedundancyResolution(robot)
 
-    n_pos = n_pos_points or opts.get("number_of_position_points", 1000)
-    n_rot = opts.get("number_of_rotation_points", 1)
-    t0 = time.time()
-    res.sample_workspace(obj_pos, n_pos, n_rot, sampling_method)
-    if verbose:
-        print(
-            f"Workspace: {res.workspace.num_nodes} nodes, "
-            f"{len(res.workspace.edges)} edges ({time.time()-t0:.1f}s)"
-        )
+    if out_dir is None:
+        out_dir = os.path.join("graph", robot_name, rotation_type)
+    os.makedirs(out_dir, exist_ok=True)
+    ws_path = os.path.join(out_dir, "workspace.npz")
+    solver_path = os.path.join(out_dir, "solver.npz")
+
+    resumed = False
+    if resume and os.path.exists(ws_path):
+        res.load_workspace_graph(ws_path)
+        if os.path.exists(solver_path):
+            res.load_solver_graph(solver_path)
+            resumed = True
+        if verbose:
+            print(
+                f"Resumed workspace: {res.workspace.num_nodes} nodes, "
+                f"{len(res.workspace.edges)} edges"
+            )
+    else:
+        n_pos = n_pos_points or opts.get("number_of_position_points", 1000)
+        n_rot = opts.get("number_of_rotation_points", 1)
+        t0 = time.time()
+        res.sample_workspace(obj_pos, n_pos, n_rot, sampling_method)
+        if verbose:
+            print(
+                f"Workspace: {res.workspace.num_nodes} nodes, "
+                f"{len(res.workspace.edges)} edges ({time.time()-t0:.1f}s)"
+            )
+        res.save_workspace_graph(ws_path)
 
     if seeds == "auto":
         seed_configs = discover_seed_configs(robot, res.workspace, verbose=verbose)
@@ -84,16 +112,16 @@ def build_roadmap(
         seed_configs = np.asarray(opts["init_configs"], dtype=np.float32)
 
     t0 = time.time()
-    res.global_expansion(seed_configs)
+    res.solver.global_expansion(
+        seed_configs,
+        on_sweep=lambda s: res.save_solver_graph(solver_path),
+    )
     if verbose:
-        print(f"Expansion: {time.time()-t0:.1f}s")
+        print(f"Expansion: {time.time()-t0:.1f}s" + (" (resumed)" if resumed else ""))
     res.fix_boundary(1, 2)  # redundancy.py:128
+    res.save_solver_graph(solver_path)
     res.build_resolution_graph_and_nn()
 
-    if out_dir is None:
-        out_dir = os.path.join("graph", robot_name, rotation_type)
-    os.makedirs(out_dir, exist_ok=True)
-    res.save_workspace_graph(os.path.join(out_dir, "workspace.npz"))
     res.save_resolution_graph(os.path.join(out_dir, "resolution.npz"))
     if verbose:
         print(f"Saved roadmap to {out_dir}")
@@ -111,6 +139,10 @@ def main(argv=None):
     ap.add_argument("--method", default="random",
                     choices=["random", "grid", "uniform_random"])
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="continue an interrupted build from workspace.npz/solver.npz",
+    )
     args = ap.parse_args(argv)
     build_roadmap(
         args.robot,
@@ -119,6 +151,7 @@ def main(argv=None):
         sampling_method=args.method,
         seeds=args.seeds,
         out_dir=args.out,
+        resume=args.resume,
     )
 
 

@@ -161,6 +161,33 @@ def grr_teleop_solver(resolution, trajectory, q0, max_change=0.04,
     return np.asarray(c_traj)
 
 
+def make_random_resolution(resolution, seed=0):
+    """Random-GRR ablation roadmap (trajectory_quality.py:336-355 loads a
+    prebuilt ``experiment/rgrr`` graph): the SAME workspace graph, but each
+    node's configuration comes from an INDEPENDENT randomly-seeded IK solve
+    — no continuity-driven expansion. Edge continuity is then measured
+    honestly, so the ablation shows how much of GRR's quality is the
+    expansion itself rather than the roadmap lookup machinery."""
+    from reconplan_tpu.grr.resolution import RedundancyResolution
+    from reconplan_tpu.grr.solver import ExpansionSolver
+
+    robot = resolution.robot
+    rand = RedundancyResolution(robot)
+    rand.workspace = resolution.workspace
+    rand.solver = ExpansionSolver(rand.workspace, robot)
+    rng = np.random.default_rng(seed)
+    robot._rng = rng
+    pts = rand.workspace.points
+    inits = robot.sample(len(pts))
+    q, ok = robot.solve_ik_batch(pts, inits)
+    q, ok = np.asarray(q), np.asarray(ok)
+    rand.solver.configs[ok] = q[ok].astype(np.float32)
+    rand.solver.has_config[:] = ok
+    rand.solver.check_connections(list(np.flatnonzero(ok)))
+    rand.build_resolution_graph_and_nn()
+    return rand
+
+
 # ---------------------------------------------------------------------------
 # metrics (experiment/utils.py)
 # ---------------------------------------------------------------------------
@@ -233,16 +260,21 @@ def dynamic_time_warping(traj1, traj2):
 
 
 def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04,
-                         include_relaxed=True):
-    """Compare GRR teleop vs Newton-IK vs RelaxedIK tracking over generated
-    trajectories (trajectory_quality.py:147-285). Returns per-method dicts
-    of success rate, mean DTW deviation, and config/workspace length
-    ratio."""
+                         include_relaxed=True, random_resolution=None):
+    """Compare GRR teleop vs Random-GRR vs Newton-IK vs RelaxedIK tracking
+    over generated trajectories (trajectory_quality.py:147-285, incl. the
+    RandomGRR arm at :336-355). Returns per-method dicts of success rate,
+    mean DTW deviation, and config/workspace length ratio.
+
+    Pass ``random_resolution`` (see :func:`make_random_resolution`) to run
+    the random-assignment ablation arm."""
     from reconplan_tpu.kin.relaxed import relaxed_teleop_solver
 
     robot = resolution.robot
     rng = np.random.default_rng(seed)
     results = {"grr": [], "newton": []}
+    if random_resolution is not None:
+        results["random_grr"] = []
     if include_relaxed:
         results["relaxed"] = []
     for traj in trajectories:
@@ -253,6 +285,12 @@ def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04,
             ("grr", lambda: grr_teleop_solver(resolution, traj, q0, max_change)),
             ("newton", lambda: newton_teleop_solver(robot, traj, q0, max_change)),
         ]
+        if random_resolution is not None:
+            methods.append(
+                ("random_grr",
+                 lambda: grr_teleop_solver(
+                     random_resolution, traj, q0, max_change))
+            )
         if include_relaxed:
             methods.append(
                 ("relaxed",

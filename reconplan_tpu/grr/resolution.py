@@ -126,6 +126,41 @@ class RedundancyResolution:
         self.workspace.load(path)
         self.solver = ExpansionSolver(self.workspace, self.robot)
 
+    def save_solver_graph(self, path):
+        """Persist expansion-solver state (configs / has_config /
+        edge_connected) so an interrupted build can resume and TRUE edge
+        connectivity survives a save/load round trip (the reference
+        pickles its solver graph and resumes via
+        ``load_existed_solver_graph``, redundancy.py:37-52)."""
+        save_roadmap_npz(
+            path,
+            configs=self.solver.configs,
+            has_config=self.solver.has_config,
+            edge_connected=self.solver.edge_connected,
+        )
+
+    def load_solver_graph(self, path):
+        """Restore solver state saved by :meth:`save_solver_graph`.
+        Requires the matching workspace graph to be loaded first."""
+        data = load_roadmap_npz(path)
+        s = self.solver
+        if tuple(data["configs"].shape) != tuple(s.configs.shape) or len(
+            data["edge_connected"]
+        ) != len(s.edge_connected):
+            raise ValueError(
+                "solver graph shape mismatch vs loaded workspace "
+                f"(configs {data['configs'].shape} vs {s.configs.shape})"
+            )
+        s.configs = np.asarray(data["configs"], dtype=np.float32)
+        s.has_config = np.asarray(data["has_config"], dtype=bool)
+        s.edge_connected = np.asarray(data["edge_connected"], dtype=bool)
+        print(
+            f"Solver graph loaded: {int(s.has_config.sum())}/"
+            f"{len(s.has_config)} configured, "
+            f"{int(s.edge_connected.sum())}/{len(s.edge_connected)} "
+            "edges connected"
+        )
+
     # ------------------------------------------------------------------
     # the runtime kernel (resolution.py:232-433)
     # ------------------------------------------------------------------

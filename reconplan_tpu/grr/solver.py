@@ -315,9 +315,21 @@ class ExpansionSolver:
             print(f"Valid start configurations: {n_valid}/{len(seeds)}")
         return start_neighbors
 
-    def global_expansion(self, seed_configs, k_layers=4, verbose=True):
-        """BFS expansion (``solver.py:69-163``) in batched waves."""
+    def global_expansion(self, seed_configs, k_layers=4, verbose=True,
+                         on_sweep=None):
+        """BFS expansion (``solver.py:69-163``) in batched waves.
+
+        ``on_sweep(solver)``, when given, is called after every stabilised
+        sweep — the build CLI uses it to checkpoint solver state so an
+        interrupted expansion can resume (reference redundancy.py:37-52).
+        Seeds already present in ``has_config`` (a resumed build) are kept;
+        expansion continues from the existing frontier.
+        """
         start_neighbors = self.initialize_from_configs(seed_configs, verbose)
+        if self.has_config.sum() > len(seed_configs):
+            # resumed state: the frontier is any unconfigured node near a
+            # configured one, which the sweep loop discovers on its own
+            start_neighbors = start_neighbors or [0]
         if not start_neighbors:
             if verbose:
                 print("No valid start configurations")
@@ -364,6 +376,8 @@ class ExpansionSolver:
                     f"{ws.num_nodes} configured, "
                     f"{int(self.edge_connected.sum())}/{len(ws.edges)} connected"
                 )
+            if on_sweep is not None:
+                on_sweep(self)
             if not updated:
                 break
 

@@ -121,6 +121,7 @@ class TestWorkspace:
         for i in range(29):
             assert (i, i + 1) in adj_pairs
 
+    @pytest.mark.slow
     def test_neighbor_query_exact(self, ur10):
         res = RedundancyResolution(ur10)
         res.sample_workspace([0.75, 0.75, 0.0], 25, 1, "random")
@@ -144,6 +145,7 @@ class TestWorkspace:
         # product structure: N = n_pos_actual * n_rot
         assert ws.num_nodes % 4 == 0
 
+    @pytest.mark.slow
     def test_workspace_npz_roundtrip(self, ur10, tmp_path):
         res = RedundancyResolution(ur10)
         res.sample_workspace([0.75, 0.75, 0.0], 20, 1, "random")
@@ -156,6 +158,7 @@ class TestWorkspace:
         np.testing.assert_array_equal(ws2.edges, res.workspace.edges)
 
 
+@pytest.mark.slow
 class TestExpansion:
     def test_expansion_configures_roadmap(self, small_roadmap):
         res = small_roadmap
@@ -191,7 +194,67 @@ class TestExpansion:
         np.testing.assert_array_equal(res2.configs, res.configs)
         np.testing.assert_array_equal(res2.edges, res.edges)
 
+    def test_solver_npz_roundtrip_preserves_connectivity(
+        self, small_roadmap, tmp_path
+    ):
+        """True edge connectivity must survive a save/load round trip —
+        the legacy eval path fabricated it from has_config pairs."""
+        res = small_roadmap
+        ws_p = str(tmp_path / "ws.npz")
+        sv_p = str(tmp_path / "solver.npz")
+        res.save_workspace_graph(ws_p)
+        res.save_solver_graph(sv_p)
+        res2 = RedundancyResolution(res.robot)
+        res2.load_workspace_graph(ws_p)
+        res2.load_solver_graph(sv_p)
+        np.testing.assert_array_equal(
+            res2.solver.edge_connected, res.solver.edge_connected
+        )
+        np.testing.assert_array_equal(
+            res2.solver.has_config, res.solver.has_config
+        )
+        np.testing.assert_array_equal(res2.solver.configs, res.solver.configs)
 
+    def test_resume_completes_interrupted_expansion(self, ur10, tmp_path):
+        """Kill a build mid-expansion (simulated by checkpointing after
+        the first sweep and reloading), resume to completion."""
+        opts = load_problem("ur10", "rot_free")
+        seeds = np.asarray(opts["init_configs"], dtype=np.float32)
+        res = RedundancyResolution(ur10)
+        res.sample_workspace([0.75, 0.75, 0.0], 30, 1, "random")
+        ws_p = str(tmp_path / "ws.npz")
+        sv_p = str(tmp_path / "solver.npz")
+        res.save_workspace_graph(ws_p)
+
+        class _Abort(Exception):
+            pass
+
+        def checkpoint_then_abort(s):
+            res.save_solver_graph(sv_p)
+            raise _Abort
+
+        with pytest.raises(_Abort):
+            res.solver.global_expansion(seeds, on_sweep=checkpoint_then_abort)
+        partial = int(res.solver.has_config.sum())
+        assert partial > 0
+
+        res2 = RedundancyResolution(ur10)
+        res2.load_workspace_graph(ws_p)
+        res2.load_solver_graph(sv_p)
+        assert int(res2.solver.has_config.sum()) == partial
+        res2.solver.global_expansion(seeds)
+        assert int(res2.solver.has_config.sum()) >= partial
+        # resumed build must reach the same completion as an uninterrupted
+        # one (both stabilise the same frontier)
+        res3 = RedundancyResolution(ur10)
+        res3.load_workspace_graph(ws_p)
+        res3.solver.global_expansion(seeds)
+        assert int(res2.solver.has_config.sum()) == int(
+            res3.solver.has_config.sum()
+        )
+
+
+@pytest.mark.slow
 class TestSolve:
     def test_tracking_mode_uses_joint_closest_seed(self, small_roadmap):
         """With curr_config given, solve() must seed from the joint-space
@@ -268,6 +331,7 @@ class TestSolve:
         assert np.linalg.norm(ee[:3] - res.points[4][:3]) < 1e-2
 
 
+@pytest.mark.slow
 class TestQuality:
     def test_metrics_formulas(self, small_roadmap):
         m = evaluate_roadmap(small_roadmap, verbose=False)
@@ -313,6 +377,7 @@ class TestNearestNeighbors:
         assert off.min() > 0.4
 
 
+@pytest.mark.slow
 class TestKinova:
     def test_kinova_fk_ik(self):
         from reconplan_tpu.kin import Kinova
@@ -335,6 +400,7 @@ class TestKinova:
         assert err[ok].max() < 2e-3
 
 
+@pytest.mark.slow
 class TestTeleopAndBatch:
     def test_teleop_towards_clamps_step(self, small_roadmap):
         res = small_roadmap

@@ -132,6 +132,7 @@ class TestJacobianIK:
         )
         np.testing.assert_allclose(np.asarray(J_geo[:3]), np.asarray(J_auto), atol=1e-4)
 
+    @pytest.mark.slow
     def test_batched_ik_converges_on_reachable_poses(self, ur10):
         """IK re-solves FK-generated poses: guaranteed-feasible targets."""
         rng = np.random.default_rng(7)
@@ -158,6 +159,7 @@ class TestJacobianIK:
         q = ur10.solve_ik(np.array([3.0, 0, 0.5, 0, 0, 0, 1], dtype=np.float32))
         assert q is None
 
+    @pytest.mark.slow
     def test_ik_position_only_mode(self):
         robot = UR10(
             "ur10", [[-1, 1], [-1, 1], [-0.5, 1]], [0, 0, 1], [-np.pi, 0, 0],
@@ -243,6 +245,7 @@ class TestSegmentDistance:
 
 
 class TestRelaxedIK:
+    @pytest.mark.slow
     def test_converges_with_smooth_motion(self, ur10):
         from reconplan_tpu.kin.relaxed import RelaxedIK
 

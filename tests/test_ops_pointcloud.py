@@ -28,6 +28,7 @@ class TestNN:
         expected = ((x[:, None] - y[None]) ** 2).sum(-1)
         np.testing.assert_allclose(d, expected, atol=1e-4)
 
+    @pytest.mark.slow
     def test_knn_matches_sklearn(self):
         from sklearn.neighbors import NearestNeighbors
 

@@ -134,6 +134,7 @@ class TestRenderer:
 
 
 class TestStitcher:
+    @pytest.mark.slow
     def test_stitch_two_synthetic_frames(self):
         """Render two nearby views of the banana and stitch them."""
         from reconplan_tpu.io.render import SplatCamera
