@@ -64,13 +64,21 @@ def get_linear_path(start, goal, path_duration, num_points):
     ]
 
 
-def scan_arc(obj_pos, radius=0.3, height=0.15, num_points=500):
+def scan_arc(obj_pos, radius=0.3, height=0.15, num_points=500,
+             azimuth=3 * np.pi / 4):
     """The flagship scan arc of ``main.py:68-136``: a tilted half-circle of
-    look-at poses around the object. Returns (num_points, 7) poses."""
+    look-at poses over the object. Returns (num_points, 7) poses.
+
+    ``azimuth`` orients the vertical plane the arc sweeps through
+    (reference value 3*pi/4). A single arc only observes the object's top
+    and two ends; sweeping additional rotated arcs (see
+    ``apps/scan.py --arcs``) covers the flanks the reference's one-arc
+    demo never sees.
+    """
     obj = np.asarray(obj_pos, dtype=np.float64)
     t = np.linspace(0, np.pi, num_points)
-    x = obj[0] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.cos(3 * np.pi / 4)
-    y = obj[1] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.sin(3 * np.pi / 4)
+    x = obj[0] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.cos(azimuth)
+    y = obj[1] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.sin(azimuth)
     z = height + obj[2] + radius * np.sin(t)
     eyes = np.stack([x, y, z], axis=-1).astype(np.float32)
     quats = np.asarray(

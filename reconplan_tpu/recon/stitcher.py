@@ -28,7 +28,7 @@ from reconplan_tpu.io.frames import load_rgbd_folder
 from reconplan_tpu.ops.icp import (
     color_gradients,
     colored_icp,
-    icp_point_to_point,
+    icp_point_to_plane,
 )
 from reconplan_tpu.ops.pointcloud import (
     PointCloud,
@@ -82,30 +82,56 @@ class RGBDStitcher:
         down = voxel_downsample(pcd, self.voxel_size)
         return estimate_normals(down, k=30)
 
-    def register_point_clouds(self, source: PointCloud, target: PointCloud,
-                              initial_transform=None):
-        """Colored-ICP (when colors exist) then point-to-point refinement
-        (``stitcher.py:73-112``). Returns (T (4,4) np, fitness float)."""
+    def _register_j(self, source: PointCloud, target: PointCloud, T):
+        """Device-side multi-scale registration (traceable).
+
+        Coarse point-to-plane at 2x voxel / 2x distance pulls in from a
+        rough initialization, then colored-ICP (when colors exist) locks
+        the tangential directions, then fine point-to-plane converges the
+        geometry. The reference refined with point-to-POINT
+        (``stitcher.py:96-102``); point-to-plane converges quadratically
+        on smooth surfaces where point-to-point stalls sliding along the
+        surface — one reason the round-1 stitch sat at 5.6 mm.
+        Returns (T (4,4) jnp, fitness scalar).
+        """
+        src_c = estimate_normals(
+            voxel_downsample(source, 2.0 * self.voxel_size), k=30
+        )
+        tgt_c = estimate_normals(
+            voxel_downsample(target, 2.0 * self.voxel_size), k=30
+        )
+        T = icp_point_to_plane(
+            src_c, tgt_c, 2.0 * self.distance_threshold, init=T,
+            max_iteration=25,
+        ).transformation
         src = self.preprocess_point_cloud(source)
         tgt = self.preprocess_point_cloud(target)
+        if source.has_colors and target.has_colors:
+            grads = color_gradients(tgt)
+            T = colored_icp(
+                src, tgt, grads, self.distance_threshold, init=T,
+                max_iteration=35,
+            ).transformation
+        res = icp_point_to_plane(
+            src, tgt, self.distance_threshold, init=T, max_iteration=30
+        )
+        return res.transformation, res.fitness
+
+    def register_point_clouds(self, source: PointCloud, target: PointCloud,
+                              initial_transform=None):
+        """Multi-scale point-to-plane (+colored-ICP) registration
+        (``stitcher.py:73-112`` surface). Returns (T (4,4) np, fitness)."""
         T = (
             jnp.eye(4)
             if initial_transform is None
             else jnp.asarray(initial_transform, dtype=jnp.float32)
         )
-        if source.has_colors and target.has_colors:
-            grads = color_gradients(tgt)
-            res_col = colored_icp(
-                src, tgt, grads, self.distance_threshold, init=T, max_iteration=50
-            )
-            T = res_col.transformation
-        res = icp_point_to_point(
-            src, tgt, self.distance_threshold, init=T, max_iteration=30
-        )
-        return np.asarray(res.transformation), float(res.fitness)
+        T, fit = self._register_j(source, target, T)
+        return np.asarray(T), float(fit)
 
     # ------------------------------------------------------------------
-    def _model_append(self, model: PointCloud, cloud: PointCloud, T) -> PointCloud:
+    def _model_append(self, model: PointCloud, cloud: PointCloud, T,
+                      overflow=None):
         """Transform ``cloud`` by T and merge into the model buffer.
 
         The model keeps a FIXED capacity: both clouds concatenate (constant
@@ -114,7 +140,14 @@ class RGBDStitcher:
         kernel compiles once for the whole sequence — a growing-model
         variant recompiled downsample/normals/ICP on every frame (~75 s a
         frame on the tunneled TPU).
+
+        Returns (model', overflow') where overflow' tracks (on device, no
+        host sync) how far voxel occupancy exceeded capacity —
+        nonzero(size=cap) silently drops voxels past the cap, so the
+        overflow is surfaced once per sequence instead.
         """
+        if overflow is None:
+            overflow = jnp.int32(0)
         T = jnp.asarray(T, dtype=jnp.float32)
         pts = jnp.matmul(
             cloud.points, T[:3, :3].T, precision=jax.lax.Precision.HIGHEST
@@ -133,19 +166,16 @@ class RGBDStitcher:
         cap = self.model_capacity
         (idx,) = jnp.nonzero(merged.valid, size=cap, fill_value=0)
         count = jnp.sum(merged.valid)
-        # track (lazily, on device) how far occupancy exceeded capacity —
-        # nonzero(size=cap) silently drops voxels past the cap, so surface
-        # the overflow instead of reporting full occupancy (checked once
-        # per sequence in stitch_sequence to avoid per-frame host syncs).
-        self._overflow = jnp.maximum(
-            getattr(self, "_overflow", jnp.int32(0)), (count - cap).astype(jnp.int32)
-        )
+        overflow = jnp.maximum(overflow, (count - cap).astype(jnp.int32))
         valid = jnp.arange(cap) < count
-        return PointCloud(
-            merged.points[idx],
-            valid,
-            merged.colors[idx] if merged.has_colors else merged.colors,
-            merged.normals[idx] if merged.has_normals else merged.normals,
+        return (
+            PointCloud(
+                merged.points[idx],
+                valid,
+                merged.colors[idx] if merged.has_colors else merged.colors,
+                merged.normals[idx] if merged.has_normals else merged.normals,
+            ),
+            overflow,
         )
 
     def stitch_sequence(self, color_images, depth_images, poses=None) -> PointCloud:
@@ -156,6 +186,13 @@ class RGBDStitcher:
 
         ``poses`` (optional (F, 4, 4) cam->world) seeds each registration —
         pass robot-FK camera poses for the scan-plan-capture loop.
+
+        The whole register+merge loop runs as ONE ``lax.scan`` dispatch:
+        every per-frame stage is fixed-shape (fixed-capacity model buffer,
+        mask-based downsample/outlier removal, while_loop ICP), so the
+        sequence compiles once and runs with zero host round trips — the
+        round-1 host loop paid ~6 tunneled dispatches (~30 ms RPC each)
+        per frame, ~3 min for 16 frames.
         """
         if len(color_images) != len(depth_images):
             raise ValueError("Number of color and depth images must match")
@@ -180,30 +217,64 @@ class RGBDStitcher:
             if poses is not None
             else jnp.eye(4, dtype=jnp.float32)
         )
-        combined = self._model_append(combined, first, T0)
+        combined, overflow = self._model_append(combined, first, T0)
 
-        for i in range(1, len(color_images)):
-            current = self.create_point_cloud_from_rgbd(color_images[i], depth_images[i])
-            init = poses[i] if poses is not None else None
-            T, fitness = self.register_point_clouds(current, combined, init)
-            if init is not None:
-                # trust-region gating against the known pose: smooth,
-                # low-texture objects let ICP slide along flat cost
-                # directions; corrections beyond the camera-pose error
-                # budget are rejected in favor of the prior.
-                d = np.asarray(T) @ np.linalg.inv(np.asarray(init))
-                rot_err = np.arccos(
-                    np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1)
+        F = len(color_images)
+        if F > 1:
+            depths = jnp.stack(
+                [jnp.asarray(d) for d in depth_images[1:]]
+            )
+            cols = (
+                jnp.stack([jnp.asarray(c) for c in color_images[1:]])
+                if has_col
+                else jnp.zeros((F - 1, 0, 0, 3), dtype=jnp.uint8)
+            )
+            pose_seq = (
+                jnp.asarray(np.stack(poses[1:]), dtype=jnp.float32)
+                if poses is not None
+                else jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (F - 1, 4, 4))
+            )
+            use_pose = poses is not None
+
+            def step(carry, inp):
+                model, overflow, i = carry
+                depth_i, color_i, init = inp
+                current = self.create_point_cloud_from_rgbd(
+                    color_i if has_col else None, depth_i
                 )
-                if np.linalg.norm(d[:3, 3]) > self.pose_trust_trans or (
-                    rot_err > self.pose_trust_rot
-                ):
-                    T = np.asarray(init)
-            combined = self._model_append(combined, current, T)
+                T, fit = self._register_j(current, model, init)
+                if use_pose:
+                    # trust-region gating against the known pose: smooth,
+                    # low-texture objects let ICP slide along flat cost
+                    # directions; corrections beyond the camera-pose error
+                    # budget are rejected in favor of the prior.
+                    d = jnp.matmul(T, jnp.linalg.inv(init))
+                    rot_err = jnp.arccos(
+                        jnp.clip((jnp.trace(d[:3, :3]) - 1) / 2, -1, 1)
+                    )
+                    bad = (
+                        jnp.linalg.norm(d[:3, 3]) > self.pose_trust_trans
+                    ) | (rot_err > self.pose_trust_rot)
+                    T = jnp.where(bad, init, T)
+                model, overflow = self._model_append(
+                    model, current, T, overflow
+                )
+                model = jax.lax.cond(
+                    (jnp.mod(i, self.optimization_modulus) == 0)
+                    & (jnp.sum(model.valid) > 1000),
+                    lambda m: remove_statistical_outliers(m, 20, 2.0),
+                    lambda m: m,
+                    model,
+                )
+                return (model, overflow, i + 1), fit
 
-            if i % self.optimization_modulus == 0 and combined.count() > 1000:
-                combined = remove_statistical_outliers(combined, 20, 2.0)
-        overflow = int(getattr(self, "_overflow", 0))
+            (combined, overflow, _), fits = jax.lax.scan(
+                step,
+                (combined, overflow, jnp.int32(1)),
+                (depths, cols, pose_seq),
+            )
+
+        overflow = int(overflow)
         if overflow > 0:
             import warnings
 
