@@ -33,20 +33,27 @@ def main(argv=None):
     ap.add_argument("--hardware", action="store_true",
                     help="use the real UR10 over ur_rtde + a RealSense")
     ap.add_argument("--ip", default="192.168.1.102")
+    ap.add_argument("--rs-config", default="realsense_config.json",
+                    help="RealSense advanced-mode JSON (data_recorder.py:74)")
+    ap.add_argument("--rs-serial", default="",
+                    help="serial-match a specific device (empty = first)")
     args = ap.parse_args(argv)
 
     targets = read_joint_positions(args.ctraj, every_nth=args.every_nth)
     print(f"{len(targets)} targets from {args.ctraj}")
 
     if args.hardware:
-        from reconplan_tpu.io.drivers import HardwareRTDE
+        from reconplan_tpu.io.drivers import HardwareRTDE, RealSenseCamera
 
         rtde = HardwareRTDE(args.ip)
-        robot = None
-        raise SystemExit(
-            "hardware capture requires a RealSense driver on the robot host;"
-            " wire your camera into DataCollector(camera=...)"
+        cam = RealSenseCamera(
+            config_file=args.rs_config, serial=args.rs_serial or None
         )
+        dc = DataCollector(rtde, cam, out_dir=args.out)
+        n = dc.collect_data_from_targets(targets)
+        print(f"captured {n} frames to {args.out}")
+        cam.release()
+        return
 
     from reconplan_tpu.io.config import load_problem
     from reconplan_tpu.kin.robot import make_robot

@@ -160,6 +160,90 @@ class HardwareRTDE(RTDE):
     def stop_script(self): self.rtde_c.stopScript()
 
 
+class RealSenseCamera:
+    """Binds to ``pyrealsense2`` when installed (on a camera-connected
+    host; not in the TPU image) — the hardware twin of
+    :class:`reconplan_tpu.io.render.SplatCamera`, mirroring the reference's
+    capture setup (``data_recorder.py:55-153``): serial-matched device
+    lookup, advanced-mode JSON configuration load, 640x480 Z16 depth +
+    BGR8 color at 30 fps, and depth-to-color frame alignment.
+
+    ``get_frames`` returns (depth_u16 (H, W), color_rgb_u8 (H, W, 3)) —
+    the (depth, color) order :class:`DataCollector` consumes (the
+    reference returned (color, depth) and swapped at the call site).
+    """
+
+    def __init__(self, config_file: str | None = "realsense_config.json",
+                 serial: str | None = None, width=640, height=480, fps=30):
+        import pyrealsense2 as rs  # noqa: F401 (camera-host only)
+
+        self._rs = rs
+        self.ctx = rs.context()
+        self.pipeline = rs.pipeline(self.ctx)
+        self.config = rs.config()
+
+        device = None
+        for dev in self.ctx.query_devices():
+            sn = dev.get_info(rs.camera_info.serial_number)
+            if serial is None or sn == serial:
+                device = dev
+                break
+        if device is None:
+            raise RuntimeError(
+                f"no RealSense device found (serial={serial!r})"
+            )
+        self.device = device
+
+        # advanced-mode JSON config (data_recorder.py:74-84)
+        if config_file is not None and os.path.exists(config_file):
+            adv = rs.rs400_advanced_mode(device)
+            if not adv.is_enabled():
+                adv.toggle_advanced_mode(True)
+                time.sleep(2)
+            with open(config_file) as f:
+                adv.load_json(f.read())
+
+        self.config.enable_device(
+            device.get_info(rs.camera_info.serial_number)
+        )
+        self.config.enable_stream(
+            rs.stream.depth, width, height, rs.format.z16, fps
+        )
+        self.config.enable_stream(
+            rs.stream.color, width, height, rs.format.bgr8, fps
+        )
+        self.profile = self.pipeline.start(self.config)
+        self.depth_scale = (
+            device.first_depth_sensor().get_depth_scale()
+        )
+        self.align = rs.align(rs.stream.color)
+        time.sleep(2)  # stabilization (data_recorder.py:102)
+
+    @property
+    def intrinsics(self):
+        """(fx, fy, cx, cy) of the aligned (color) stream."""
+        rs = self._rs
+        s = self.profile.get_stream(rs.stream.color)
+        i = s.as_video_stream_profile().get_intrinsics()
+        return (i.fx, i.fy, i.ppx, i.ppy)
+
+    def get_frames(self):
+        frames = self.pipeline.wait_for_frames()
+        aligned = self.align.process(frames)
+        depth = aligned.get_depth_frame()
+        color = aligned.get_color_frame()
+        if not depth or not color:
+            raise RuntimeError("failed to get frames from RealSense camera")
+        import numpy as _np
+
+        depth_img = _np.asanyarray(depth.get_data())
+        color_bgr = _np.asanyarray(color.get_data())
+        return depth_img, color_bgr[..., ::-1]  # BGR -> RGB
+
+    def release(self):
+        self.pipeline.stop()
+
+
 # ---------------------------------------------------------------------------
 # trajectory playback + capture (data_recorder.py / robot_control.py)
 # ---------------------------------------------------------------------------
