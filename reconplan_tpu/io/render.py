@@ -46,7 +46,11 @@ def camera_look_at(eye, target, up=(0.0, 0.0, 1.0)):
     return T.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("height", "width"))
+# Pinned to the CPU backend: the z-buffer is scatter-min/scatter-add
+# shaped, and XLA serializes scatters on TPU the same way it does gathers
+# (measured ~8 s/frame on the chip vs ~0.1 s on host CPU). The simulated
+# camera is host-side hardware anyway — the real path is a RealSense.
+@partial(jax.jit, static_argnames=("height", "width"), backend="cpu")
 def splat_depth_color(
     points,  # (N, 3) world
     colors,  # (N, 3) [0, 1]
@@ -138,9 +142,18 @@ class SplatCamera:
         """
         T_c2w = camera_look_at(eye, target)
         T_w2c = np.linalg.inv(T_c2w).astype(np.float32)
+        # scene splats live on the CPU device (matching the cpu-pinned
+        # renderer); staging them per call onto the default (tunneled TPU)
+        # device cost an 18 MB round trip per frame
+        if getattr(self, "_points_dev", None) is None or (
+            self._points_dev.shape[0] != self._points.shape[0]
+        ):
+            cpu = jax.local_devices(backend="cpu")[0]
+            self._points_dev = jax.device_put(self._points, cpu)
+            self._colors_dev = jax.device_put(self._colors, cpu)
         depth, color = splat_depth_color(
-            jnp.asarray(self._points),
-            jnp.asarray(self._colors),
+            self._points_dev,
+            self._colors_dev,
             jnp.asarray(T_w2c),
             self.fx, self.fy, self.cx, self.cy,
             self.height, self.width,
