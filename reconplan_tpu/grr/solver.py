@@ -292,6 +292,10 @@ class ExpansionSolver:
         snap to the nearest workspace node, IK from the seed, assign."""
         ws = self.workspace
         seeds = np.asarray(seed_configs, dtype=np.float32)
+        if seeds.size == 0:
+            if verbose:
+                print("Valid start configurations: 0/0 (no seeds)")
+            return set()
         points = np.asarray(self.robot.fk_point_batch(seeds))
         if ws.points.shape[1] == 3:
             points = points[:, :3]

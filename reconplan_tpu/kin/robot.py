@@ -84,8 +84,21 @@ class Robot:
         if rotation is not None:
             self.rotation = rotation
         else:
-            # reference forces "variable" regardless (grr/robot.py:61)
-            self.rotation = "variable"
+            # The reference's ORIGINAL mode logic (grr/robot.py:46-58).
+            # Upstream later forced "variable" unconditionally
+            # (grr/robot.py:60) for the UR10 scan flow — but that hack
+            # breaks every fixed-rotation build: uniform workspace
+            # sampling then attaches random quaternions that a
+            # fixed-orientation problem (kinova rot_fixed, planar_5) can
+            # never reach, so no IK converges. The UR10 arc flow is
+            # unaffected (its 7D look-at arc points drive IK regardless
+            # of mode).
+            if self.fixed_rotation is not None:
+                self.rotation = (
+                    "fixed" if float(np.sum(rot_domain)) == 0 else "variable"
+                )
+            else:
+                self.rotation = "free"
 
         limits = np.stack([self.rob.qmin, self.rob.qmax], axis=-1)
         if self.ACTIVE_JOINTS is not None:

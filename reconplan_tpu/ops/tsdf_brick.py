@@ -1149,6 +1149,11 @@ def integrate_frames_bricked_device(
     intr = jnp.asarray([fx, fy, cx, cy], dtype=jnp.float32)
     packed = None
     if colors is not None:
+        # depth + packed-color VMEM residency doubles per frame; stay
+        # under the 16 MB scoped-vmem limit (8 x 480x640 f32+i32 = 19.6 MB
+        # OOMs the kernel stack)
+        frames_per_dispatch = min(frames_per_dispatch, 4)
+    if colors is not None:
         if grid.rgb is None:
             raise ValueError(
                 "colors given but grid has no color plane — build with "
