@@ -48,13 +48,20 @@ D435 = dict(fx=615.6707153320312, fy=615.962158203125,
             cx=326.0557861328125, cy=240.55592346191406)
 
 
-def grr_plan(grr, workspace_path, track_array=None, batched=True):
+def grr_plan(grr, workspace_path, track_array=None, batched=True,
+             ik_fallback=True):
     """GRR solve threading curr_config (``main.py:257-307``).
 
     ``batched=True`` runs the whole path as one on-device ``lax.scan``
     (RedundancyResolution.solve_batch — ~80x faster than the per-waypoint
     host loop on a tunneled TPU); ``batched=False`` replays the reference's
     python loop with TrackArray diagnostics.
+
+    ``ik_fallback`` retries waypoints the roadmap solve could not reach
+    with plain seeded IK (the reference solve() falls back to regular IK
+    when the roadmap has nothing to offer): on multi-arc scans the small
+    scan roadmap only spans the original arc's region, and capture poses
+    — not roadmap continuity — are what the closed loop needs.
     """
     if track_array is None:
         track_array = []
@@ -62,11 +69,32 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True):
         qs, ok, track = grr.solve_batch(
             np.asarray(workspace_path), return_track=True
         )
+        ok = list(np.asarray(ok))
         config_path = [q if o else None for q, o in zip(qs, ok)]
         # same tracking-mode diagnostic solve() appends (min joint distance
         # to the roadmap seed, resolution.py:322) so trackarr.txt stays
         # comparable to the reference's golden file.
         track_array.extend(float(t) for t in track)
+        if ik_fallback and not all(ok):
+            robot = grr.robot
+            bad = [i for i, o in enumerate(ok) if not o]
+            # bucket the batch to a power of two: per-size recompiles of
+            # the IK solver cost minutes each on the tunneled runtime
+            B = max(8, 1 << int(np.ceil(np.log2(len(bad)))))
+            pts = np.asarray(workspace_path)[
+                np.pad(bad, (0, B - len(bad)), mode="edge")
+            ]
+            robot._rng = np.random.default_rng(0)
+            seeds = np.asarray(robot.sample(B), dtype=np.float32)
+            qf, okf = robot.solve_ik_batch(pts[:, :3], seeds)
+            qf, okf = np.asarray(qf), np.asarray(okf)
+            n_rescued = 0
+            for j, i in enumerate(bad):
+                if okf[j]:
+                    config_path[i] = qf[j]
+                    n_rescued += 1
+            if n_rescued:
+                print(f"ik fallback rescued {n_rescued}/{len(bad)} waypoints")
     else:
         config_path = []
         curr = None
@@ -134,15 +162,15 @@ def run_scan(
             )
         ]
     else:
-        # measured coverage schedule (512^3 Chamfer sweep): closer
-        # (r=0.25, within UR10 reach at every azimuth) and lower
-        # (alternating 0.10/0.06 m) arcs fanned 45 deg apart see the
-        # flanks the reference arc misses — 1.38 -> 0.83 mm @256^3.
-        offsets = [0, 45, -45, 90, -90, 135, -135, 180]
+        # measured coverage schedule (512^3 Chamfer sweep, variant D:
+        # 0.544 mm vs 1.64 mm single-arc): closer (r=0.25, within UR10
+        # reach at every azimuth) arcs fanned 45 deg apart, plus two low
+        # (0.06 m) arcs for the flanks the reference arc misses.
+        offsets = [0, 45, -45, -90, 90, -135, 135, 180]
         arcs = [
             scan_arc(
                 OBJECT_POINT, radius=0.25,
-                height=0.10 if a % 2 == 0 else 0.06,
+                height=0.10 if a < 4 else 0.06,
                 num_points=per_arc,
                 azimuth=base_az + np.deg2rad(offsets[a % len(offsets)]),
             )

@@ -498,6 +498,9 @@ class RedundancyResolution:
                     continue
                 w_path.append(sub)
                 c_path.append(q)
-        w_path.append(goal_point)
+        # keep w_path dim-homogeneous when a 3D goal meets a posed roadmap
+        w_path.append(
+            self.robot.workspace_interpolate(path_points[-2], goal_point, 1.0)
+        )
         c_path.append(self.solve(goal_point))
         return np.asarray(c_path), np.asarray(w_path)

@@ -195,6 +195,12 @@ class RoadmapWorkspace:
         single = q.ndim == 1
         if single:
             q = q[None]
+        # position-only queries against a posed roadmap (rot_free
+        # problems: rotation is free, so 3D targets match on position)
+        if q.shape[1] == 3 and target.shape[1] > 3:
+            target = target[:, :3]
+        elif q.shape[1] > 3 and target.shape[1] == 3:
+            q = q[:, :3]
         k = min(k or 1, target.shape[0])
         _, idx = se3_knn(q, target, k)
         idx = np.asarray(idx)

@@ -222,11 +222,17 @@ class Robot:
         return float(maths.se3_distance(jnp.asarray(p1), jnp.asarray(p2)))
 
     def workspace_interpolate(self, p1, p2, u):
+        """Mixed 3D/7D endpoints are allowed (rot_free teleop targets are
+        position-only while roadmap nodes carry poses): the single
+        available quaternion rides along unchanged."""
         p1 = jnp.asarray(p1, dtype=jnp.float32)
         p2 = jnp.asarray(p2, dtype=jnp.float32)
         pos = p1[:3] + u * (p2[:3] - p1[:3])
-        if p1.shape[0] > 3:
+        if p1.shape[0] > 3 and p2.shape[0] > 3:
             quat = maths.slerp(p1[3:7], p2[3:7], u)
+            return np.asarray(jnp.concatenate([pos, quat]))
+        if p1.shape[0] > 3 or p2.shape[0] > 3:
+            quat = p1[3:7] if p1.shape[0] > 3 else p2[3:7]
             return np.asarray(jnp.concatenate([pos, quat]))
         return np.asarray(pos)
 
