@@ -46,13 +46,13 @@ BRICK_Z, BRICK_Y, BRICK_X = 8, 8, 16  # 8x8x16 voxels = one (8,128) tile
 # floor128(min u), computed per brick-frame from the voxel projections),
 # then lane-rolled so the footprint starts at lane 0 — every window row
 # needs ONE 128-lane gather instead of two chunk gathers plus a select.
-# Rows: a FOOT_H-row fast window with a WIN_H-row fallback branch for
+# Rows: FOOT_H1/FOOT_H fast windows with a WIN_H-row fallback branch for
 # close-range bricks (footprint taller than FOOT_H-7 rows). Coverage
 # guarantee: v-extent <= WIN_H-7 rows and u-extent <= 128 lanes; larger
 # footprints lose their outermost voxels (same class of approximation as
 # the round-1 center-anchored +-28/+-64 window, but strictly wider since
 # the base is the true footprint minimum).
-FOOT_H, WIN_H, WIN_W = 32, 64, 256
+FOOT_H1, FOOT_H, WIN_H, WIN_W = 24, 32, 64, 256
 
 
 class BrickGrid(NamedTuple):
@@ -770,21 +770,65 @@ def _integrate_kernel_dyn(
                 vi = jnp.round(v).astype(jnp.int32)
                 in_img = (ui >= 0) & (ui < Wd) & (vi >= 0) & (vi < Hd) & (z > 1e-4)
 
-                BIG = jnp.int32(1 << 20)
-                umin = jnp.min(jnp.where(in_img, ui, BIG))
-                vmin = jnp.min(jnp.where(in_img, vi, BIG))
-                vmax = jnp.max(jnp.where(in_img, vi, -BIG))
+                # footprint bbox from the 8 projected brick corners —
+                # SCALAR math on the SPU replacing three cross-lane
+                # reductions (~90 cycles each on a (8,128) tile). The
+                # perspective image of a convex brick with z > 0 is the
+                # hull of its corner projections, so the bbox is
+                # conservative; corners are z-clamped, so bricks sliced
+                # by the camera plane degrade to the same missed-window
+                # tail class as the round-1 center-anchored window.
+                c_us, c_vs = [], []
+                for dx_ in (0.0, float(BRICK_X - 1)):
+                    for dy_ in (0.0, float(BRICK_Y - 1)):
+                        for dz_ in (0.0, float(BRICK_Z - 1)):
+                            px = ox + (bx.astype(jnp.float32) * BRICK_X + dx_) * voxel
+                            py = oy + (by.astype(jnp.float32) * BRICK_Y + dy_) * voxel
+                            pz = oz + (bz.astype(jnp.float32) * BRICK_Z + dz_) * voxel
+                            xc = r00 * px + r01 * py + r02 * pz + t0
+                            yc = r10 * px + r11 * py + r12 * pz + t1
+                            zc = jnp.maximum(r20 * px + r21 * py + r22 * pz + t2, 1e-3)
+                            c_us.append(xc / zc * fx + cx)
+                            c_vs.append(yc / zc * fy + cy)
+
+                def _mins(vals):
+                    m = vals[0]
+                    for v_ in vals[1:]:
+                        m = jnp.minimum(m, v_)
+                    return m
+
+                def _maxs(vals):
+                    m = vals[0]
+                    for v_ in vals[1:]:
+                        m = jnp.maximum(m, v_)
+                    return m
+
+                umin = jnp.clip(
+                    jnp.floor(_mins(c_us)).astype(jnp.int32) - 1, 0, Wd - 1
+                )
+                vmin = jnp.clip(
+                    jnp.floor(_mins(c_vs)).astype(jnp.int32) - 1, 0, Hd - 1
+                )
+                vmax = jnp.clip(
+                    jnp.ceil(_maxs(c_vs)).astype(jnp.int32) + 1, 0, Hd - 1
+                )
 
                 u0 = jnp.clip((umin // 128) * 128, 0, Wd - WIN_W)
                 u0 = pl.multiple_of(u0, 128)
                 shift = jnp.clip(umin - u0, 0, 128)
                 ul = ui - (u0 + shift)
 
+                v0q = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H1)
                 v0s = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H)
                 v0f = jnp.clip((vmin // 8) * 8, 0, Hd - WIN_H)
+                fits_q = (vmax - v0q) < FOOT_H1
                 fits_small = (vmax - v0s) < FOOT_H
-                v0_eff = jnp.where(fits_small, v0s, v0f)
-                H_eff = jnp.where(fits_small, FOOT_H, WIN_H)
+                v0_eff = jnp.where(
+                    fits_q, v0q, jnp.where(fits_small, v0s, v0f)
+                )
+                H_eff = jnp.where(
+                    fits_q, FOOT_H1, jnp.where(fits_small, FOOT_H, WIN_H)
+                )
                 vl_eff = vi - v0_eff
                 in_win = (ul >= 0) & (ul < 128) & (vl_eff >= 0) & (vl_eff < H_eff)
                 ulc = jnp.clip(ul, 0, 127)
@@ -817,9 +861,13 @@ def _integrate_kernel_dyn(
                     return (d, c) if with_color else (d, d)
 
                 d, cpk = jax.lax.cond(
-                    fits_small,
-                    lambda: _sample(FOOT_H, v0s),
-                    lambda: _sample(WIN_H, v0f),
+                    fits_q,
+                    lambda: _sample(FOOT_H1, v0q),
+                    lambda: jax.lax.cond(
+                        fits_small,
+                        lambda: _sample(FOOT_H, v0s),
+                        lambda: _sample(WIN_H, v0f),
+                    ),
                 )
                 ok = in_win & in_img
 
@@ -1067,7 +1115,7 @@ def _integrate_device_all(
             # fine HERE because only ~2-3k candidate bricks remain.
             bits = bits & _exact_frame_bits_dilated(
                 bits, d_chunk, T_chunk, origin, voxel_size, trunc,
-                intr, brick_dims, min(max_active, 8192), depth_scale,
+                intr, brick_dims, min(max_active, 4096), depth_scale,
                 depth_max,
             )
             mask = bits != 0
