@@ -19,6 +19,8 @@ def main(argv=None):
     ap.add_argument("robot", nargs="?", default="ur10")
     ap.add_argument("rotation_type", nargs="?", default="rot_variable_yaw")
     ap.add_argument("--dir", default=None)
+    ap.add_argument("--html", default=None,
+                    help="write an interactive roadmap viewer HTML here")
     args = ap.parse_args(argv)
 
     opts = load_problem(args.robot, args.rotation_type)
@@ -49,6 +51,11 @@ def main(argv=None):
         res.solver.has_config[idx] = True
         res.solver.check_connections(list(idx))
     evaluate_roadmap(res)
+    if args.html:
+        from reconplan_tpu.viz import export_roadmap_html
+
+        export_roadmap_html(res, args.html)
+        print(f"interactive viewer written to {args.html}")
 
 
 if __name__ == "__main__":

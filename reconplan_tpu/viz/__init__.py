@@ -1,10 +1,11 @@
-"""Host-side visualization exports (headless).
+"""Host-side visualization exports.
 
 Replaces the reference's interactive viewers — the Klampt OpenGL roadmap
 GUI (``visualization/klampt_vis.py``), matplotlib workspace plots
 (``grr/workspace.py:460-593``), and the Open3D window (``stitcher.py``) —
-with headless artifact generation: PNG plots and PLY exports that work on a
-display-less TPU host.
+with display-less-friendly artifacts: PNG plots, PLY exports, and
+self-contained interactive HTML viewers (``html_export``) that open in
+any browser with orbit/zoom/pan.
 """
 
 from reconplan_tpu.viz.plots import (
@@ -18,3 +19,8 @@ __all__ = [
     "plot_roadmap_disconnections",
     "plot_trajectory_tracking",
 ]
+from reconplan_tpu.viz.html_export import (  # noqa: E402
+    export_cloud_html,
+    export_mesh_html,
+    export_roadmap_html,
+)

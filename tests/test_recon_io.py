@@ -317,3 +317,38 @@ class TestExperiment:
                                       duration=1.0, hz=10)
         assert len(trajs) >= 1
         assert trajs[0].shape[0] == 10
+
+
+class TestHtmlExport:
+    def test_mesh_and_cloud_html(self, tmp_path):
+        from reconplan_tpu.viz import export_cloud_html, export_mesh_html
+
+        rng = np.random.default_rng(0)
+        tris = rng.random((50, 3, 3))
+        p = str(tmp_path / "mesh.html")
+        export_mesh_html(tris, p)
+        html = open(p).read()
+        assert "DATA" in html and '"tris"' in html and "orbit" in html
+
+        pts = rng.random((100, 3))
+        cols = rng.random((100, 3))
+        p2 = str(tmp_path / "cloud.html")
+        export_cloud_html(pts, p2, colors=cols)
+        html2 = open(p2).read()
+        assert '"colors"' in html2 and "rgb(" in html2
+
+    def test_roadmap_html(self, tmp_path, ur10_roadmap=None):
+        from reconplan_tpu.grr import RedundancyResolution
+        from reconplan_tpu.io.config import load_problem
+        from reconplan_tpu.kin.robot import make_robot
+        from reconplan_tpu.viz import export_roadmap_html
+
+        opts = load_problem("planar_5", "rot_fixed")
+        robot = make_robot(opts)
+        res = RedundancyResolution(robot)
+        res.load_workspace_graph("graph/planar_5/rot_fixed/workspace.npz")
+        res.load_solver_graph("graph/planar_5/rot_fixed/solver.npz")
+        p = str(tmp_path / "roadmap.html")
+        export_roadmap_html(res, p)
+        html = open(p).read()
+        assert "configured" in html and '"edges"' in html
