@@ -239,8 +239,26 @@ class RGBDStitcher:
             def step(carry, inp):
                 model, overflow, i = carry
                 depth_i, color_i, init = inp
-                current = self.create_point_cloud_from_rgbd(
+                current_full = self.create_point_cloud_from_rgbd(
                     color_i if has_col else None, depth_i
+                )
+                # compact the frame to model capacity BEFORE registration:
+                # every downstream stage (normals kNN, downsample sorts,
+                # ICP correspondence) then runs on cap-sized clouds
+                # instead of the raw 307k-pixel cloud — the raw-sized
+                # per-frame program inside one lax.scan was big enough to
+                # crash the TPU worker at 32 frames
+                down = voxel_downsample(current_full, self.voxel_size)
+                (cidx,) = jnp.nonzero(down.valid, size=cap, fill_value=0)
+                ccount = jnp.sum(down.valid)
+                overflow = jnp.maximum(
+                    overflow, (ccount - cap).astype(jnp.int32)
+                )
+                current = PointCloud(
+                    down.points[cidx],
+                    jnp.arange(cap) < ccount,
+                    down.colors[cidx] if down.has_colors else down.colors,
+                    down.normals[cidx] if down.has_normals else down.normals,
                 )
                 T, fit = self._register_j(current, model, init)
                 if use_pose:
