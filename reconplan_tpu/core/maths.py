@@ -270,7 +270,9 @@ def se3_distance(point1, point2, position_weight=1.0, rotation_weight=0.3):
     point1 = jnp.asarray(point1)
     point2 = jnp.asarray(point2)
     d_pos = jnp.linalg.norm(point1[..., :3] - point2[..., :3], axis=-1)
-    if point1.shape[-1] <= 3:
+    # either side position-only (mixed 3D targets vs posed points):
+    # compare positions
+    if point1.shape[-1] <= 3 or point2.shape[-1] <= 3:
         return d_pos
     d_rot = 1.0 - jnp.abs(
         jnp.sum(point1[..., 3:7] * point2[..., 3:7], axis=-1)

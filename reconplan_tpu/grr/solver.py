@@ -183,6 +183,12 @@ class ExpansionSolver:
         q2 = np.asarray(q2, dtype=np.float32).reshape(-1, self.robot.num_joints)
         p1 = np.asarray(p1, dtype=np.float32).reshape(len(q1), -1)
         p2 = np.asarray(p2, dtype=np.float32).reshape(len(q1), -1)
+        if p1.shape[1] != p2.shape[1]:
+            # mixed 3D/7D endpoints (rot_free teleop targets vs posed
+            # roadmap points): continuity interpolates positions only
+            d_min = min(p1.shape[1], p2.shape[1])
+            p1 = p1[:, :d_min]
+            p2 = p2[:, :d_min]
         B_real = len(q1)
         # bucket B to a power of two (min 4) to bound recompilation
         B = max(4, 1 << int(np.ceil(np.log2(max(B_real, 1)))))

@@ -50,7 +50,7 @@ def se3_pairwise(points1, points2, position_weight=1.0, rotation_weight=0.3):
     one (N, M) quaternion inner-product matmul.
     """
     d_pos = jnp.sqrt(pairwise_sqdist(points1[:, :3], points2[:, :3]))
-    if points1.shape[-1] <= 3:
+    if points1.shape[-1] <= 3 or points2.shape[-1] <= 3:
         return d_pos
     qdot = jnp.matmul(
         points1[:, 3:7], points2[:, 3:7].T, precision=jax.lax.Precision.HIGHEST
