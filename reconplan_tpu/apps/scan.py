@@ -281,6 +281,15 @@ def run_scan(
     if reconstruct in ("stitch", "both"):
         t0 = time.time()
         stitcher = RGBDStitcher(PinholeIntrinsic(640, 480, **D435))
+        # the reference's 2 cm default voxel targets room-scale scenes;
+        # a 20 cm tabletop object needs scene-scale resolution (the model
+        # cloud otherwise collapses to ~80 voxel centroids, ~4 mm Chamfer)
+        stitcher.voxel_size = 0.004
+        stitcher.distance_threshold = 0.02
+        # capacity sized to the object (~2-4k occupied 4 mm voxels): every
+        # kNN / ICP-correspondence stage is O(cap^2), so the 32k default
+        # would spend 95% of its FLOPs on empty slots
+        stitcher.model_capacity = 8192
         cloud = stitcher.stitch_sequence(
             list(frames.color), list(frames.depth), poses=frames.poses
         )

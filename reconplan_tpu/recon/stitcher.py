@@ -19,6 +19,8 @@ Differences by design:
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -286,11 +288,22 @@ class RGBDStitcher:
                 )
                 return (model, overflow, i + 1), fit
 
-            (combined, overflow, _), fits = jax.lax.scan(
-                step,
-                (combined, overflow, jnp.int32(1)),
-                (depths, cols, pose_seq),
-            )
+            # dispatch in blocks: one lax.scan per <= frames_per_block
+            # frames (compile reused across equal-length blocks). The
+            # whole-sequence program was large enough to fault the TPU
+            # worker at 32 frames; blocks keep the compiled program
+            # bounded at ~2 host round trips per block.
+            fpb = int(getattr(self, "frames_per_block", 8))
+            scan_fn = jax.jit(partial(jax.lax.scan, step))
+            carry = (combined, overflow, jnp.int32(1))
+            fits = []
+            for b0 in range(0, F - 1, fpb):
+                b1 = min(b0 + fpb, F - 1)
+                carry, f_block = scan_fn(
+                    carry, (depths[b0:b1], cols[b0:b1], pose_seq[b0:b1])
+                )
+                fits.append(f_block)
+            combined, overflow, _ = carry
 
         overflow = int(overflow)
         if overflow > 0:
