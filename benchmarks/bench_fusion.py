@@ -62,15 +62,18 @@ def main(n_frames=32, dims=(256, 512)):
         for _ in range(3):
             _ = float(fence(grid.weight))
         rpc = (time.perf_counter() - t0) / 3
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+        # amortize over REPS batches per fence: a single batch can now run
+        # faster than the ~30 ms RPC-readback baseline, driving the
+        # rpc-subtracted time negative
+        REPS = 5
+        t0 = time.perf_counter()
+        for _ in range(REPS):
             grid, na = tb.integrate_frames_bricked_device(
                 grid, depths, poses, fx, fy, cx, cy, max_active=8192
             )
-            _ = float(fence(grid.weight))
-            times.append(time.perf_counter() - t0 - rpc)
-        fps = n_frames / min(times)
+        _ = float(fence(grid.weight))
+        dt = max((time.perf_counter() - t0 - rpc) / REPS, 1e-9)
+        fps = n_frames / dt
 
         sdf, weight = tb.to_dense(grid)
         dense = TSDFGrid(
