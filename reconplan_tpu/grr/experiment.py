@@ -279,6 +279,11 @@ def run_teleop_benchmark(resolution, trajectories, seed=0, max_change=0.04,
         results["relaxed"] = []
     for traj in trajectories:
         q0 = robot.solve_ik(traj[0])
+        for retry in range(8):
+            if q0 is not None:
+                break
+            robot._rng = np.random.default_rng(retry)
+            q0 = robot.solve_ik(traj[0], robot.sample(1)[0])
         if q0 is None:
             continue
         methods = [
