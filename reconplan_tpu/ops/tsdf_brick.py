@@ -1149,8 +1149,15 @@ def _integrate_device_all(
                 n_chunk.astype(jnp.float32)[None],
             ]
         )
-        (ids,) = jnp.nonzero(mask, size=max_active, fill_value=nb_scratch)
-        ids = ids.astype(jnp.int32)
+        # compaction via stable argsort on the active bit (actives keep
+        # index order at the front): one 131k sort beats nonzero's
+        # cumsum+scatter by ~2x on this chip (~1.2 ms -> ~0.5 ms/chunk)
+        ids = jnp.argsort(
+            jnp.where(mask, jnp.int32(0), jnp.int32(1)), stable=True
+        )[:max_active].astype(jnp.int32)
+        ids = jnp.where(
+            jnp.arange(max_active) < n_chunk, ids, jnp.int32(nb_scratch)
+        )
         fbits = jnp.concatenate([bits, jnp.zeros(1, jnp.int32)])[
             jnp.minimum(ids, bits.shape[0])
         ]
