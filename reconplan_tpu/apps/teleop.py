@@ -1,0 +1,176 @@
+"""Keyboard teleop CLI — rebuild of ``UR10_RTDE/examples/teleop_keyboard.py``.
+
+Same control scheme as the reference (w/s = ±X, a/d = ±Y, i/j = ±Z,
+q = quit, step 1 mm per tick at the servo rate) driving either:
+
+  * the RTDE servo path (``--mode rtde``; SimRTDE by default, the real arm
+    with ``--hardware``) through the anchor-tracking
+    :class:`reconplan_tpu.io.drivers.Teleop` state machine — the
+    reference's exact architecture; or
+  * the GRR resolution (``--mode grr``): each tick solves the moved target
+    through ``RedundancyResolution.teleop_solve``, the joint-continuous
+    teleoperation the roadmap exists for (reference ``klampt_vis.py``'s
+    idle-tick teleop without the Klampt GUI).
+
+The reference used ``pynput`` (an X11 dependency); this reads raw
+terminal input (termios cbreak, stdlib-only) so it runs over ssh on a
+display-less host. Without a TTY it falls back to line input
+("wwassdij..." then enter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import select
+import sys
+import time
+
+import numpy as np
+
+KEYMAP = {  # teleop_keyboard.py:97-107
+    "w": (0, +1), "s": (0, -1),
+    "a": (1, +1), "d": (1, -1),
+    "i": (2, +1), "j": (2, -1),
+}
+
+
+class _RawKeys:
+    """cbreak-mode non-blocking key reader (stdlib termios; no pynput/X11)."""
+
+    def __init__(self):
+        self._tty = sys.stdin.isatty()
+        if self._tty:
+            import termios
+            import tty
+
+            self._fd = sys.stdin.fileno()
+            self._old = termios.tcgetattr(self._fd)
+            tty.setcbreak(self._fd)
+            self._termios = termios
+
+    def pending(self):
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if not ch:
+                break
+            keys.append(ch)
+        return keys
+
+    def close(self):
+        if self._tty:
+            self._termios.tcsetattr(
+                self._fd, self._termios.TCSADRAIN, self._old
+            )
+
+
+def run_teleop(mode="rtde", hardware=False, ip="192.168.1.102", rate=0.05,
+               step=0.001, max_ticks=None, script=None, verbose=True):
+    """Drive the arm from the keyboard. ``script`` (a string of keys)
+    replaces live input for tests/headless use."""
+    from reconplan_tpu.io.config import load_problem
+    from reconplan_tpu.kin.robot import make_robot
+
+    opts = load_problem("ur10", "rot_free")
+    robot = make_robot(opts)
+
+    if mode == "rtde":
+        from reconplan_tpu.io.drivers import SimRTDE, Teleop
+
+        if hardware:
+            from reconplan_tpu.io.drivers import HardwareRTDE
+
+            rtde = SimRTDE(robot) if not ip else HardwareRTDE(ip)
+        else:
+            rtde = SimRTDE(robot)
+        teleop = Teleop(rtde, step=step)
+
+        def apply(offsets):
+            for axis, direction in offsets:
+                teleop.nudge(axis, direction)
+            return teleop.tick()[:3]
+
+        def stop():
+            rtde.stop_script()
+
+    else:  # grr
+        from reconplan_tpu.grr import RedundancyResolution
+
+        grr = RedundancyResolution(robot)
+        d = os.path.join("graph", "ur10", "rot_free")
+        grr.load_workspace_graph(os.path.join(d, "workspace.npz"))
+        grr.load_resolution_graph(os.path.join(d, "resolution.npz"))
+        sv = os.path.join(d, "solver.npz")
+        if os.path.exists(sv):
+            grr.load_solver_graph(sv)
+        state = {
+            "q": np.asarray(grr.configs[0], dtype=np.float64),
+        }
+        state["target"] = np.asarray(
+            robot.fk_point_batch(state["q"][None])
+        )[0][:3].astype(np.float64)
+
+        def apply(offsets):
+            for axis, direction in offsets:
+                state["target"][axis] += direction * step
+            q = grr.teleop_solve(state["target"].copy(), state["q"], 0.04)
+            if q is not None:
+                state["q"] = np.asarray(q, dtype=np.float64)
+            return state["target"]
+
+        def stop():
+            pass
+
+    if verbose:
+        print("teleop: w/s=+-X a/d=+-Y i/j=+-Z q=quit "
+              f"(mode={mode}, step={step*1000:.0f} mm, rate={1/rate:.0f} Hz)")
+
+    scripted = list(script) if script is not None else None
+    reader = None if scripted is not None else _RawKeys()
+    ticks = 0
+    try:
+        while True:
+            if scripted is not None:
+                if not scripted:
+                    break
+                keys = [scripted.pop(0)]
+            else:
+                keys = reader.pending()
+            if "q" in keys:
+                break
+            offsets = [KEYMAP[k] for k in keys if k in KEYMAP]
+            pos = apply(offsets)
+            ticks += 1
+            if verbose and (offsets or ticks % 50 == 0):
+                print(f"\r tick {ticks}  tool [{pos[0]:+.3f} {pos[1]:+.3f} "
+                      f"{pos[2]:+.3f}]", end="", flush=True)
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+            if scripted is None:
+                time.sleep(rate)
+    finally:
+        if reader is not None:
+            reader.close()
+        stop()
+        if verbose:
+            print()
+    return ticks
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=["rtde", "grr"], default="rtde")
+    ap.add_argument("--hardware", action="store_true")
+    ap.add_argument("--ip", default="192.168.1.102")
+    ap.add_argument("--rate", type=float, default=0.05)
+    ap.add_argument("--step", type=float, default=0.001)
+    args = ap.parse_args(argv)
+    run_teleop(
+        mode=args.mode, hardware=args.hardware, ip=args.ip,
+        rate=args.rate, step=args.step,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -352,3 +352,13 @@ class TestHtmlExport:
         export_roadmap_html(res, p)
         html = open(p).read()
         assert "configured" in html and '"edges"' in html
+
+
+class TestTeleopCLI:
+    def test_scripted_rtde_teleop_moves_tool(self):
+        """The keyboard control scheme (teleop_keyboard.py:97-107) moves
+        the simulated tool along the commanded axes."""
+        from reconplan_tpu.apps.teleop import run_teleop
+
+        n = run_teleop(mode="rtde", script="wwwq", verbose=False)
+        assert n == 3  # three ticks before 'q'
