@@ -437,3 +437,55 @@ class TestTeleopAndBatch:
             ee = np.asarray(res.robot.fk_point_batch(qs[ok]))
             err = np.linalg.norm(ee[:, :3] - arc[ok][:, :3], axis=-1)
             assert err.max() < 5e-3
+
+
+class TestScanArcAzimuth:
+    def test_azimuth_rotates_arc_plane(self):
+        obj = [0.75, 0.75, 0.0]
+        base = scan_arc(obj, num_points=16)
+        rot = scan_arc(obj, num_points=16, azimuth=3 * np.pi / 4 + np.pi / 2)
+        # same center offset and heights, different sweep plane
+        np.testing.assert_allclose(base[:, 2], rot[:, 2], atol=1e-6)
+        # 135 deg -> 225 deg: cos(az) coincides, sin(az) flips
+        assert not np.allclose(base[:, 1], rot[:, 1])
+        # every pose still looks at the object
+        for p in rot[::5]:
+            v = np.asarray(obj) - p[:3]
+            d = np.linalg.norm(v)
+            assert 0.05 < d < 0.6
+
+    def test_default_azimuth_matches_reference_formula(self):
+        """azimuth default must keep main.py:68-136 parity exactly."""
+        obj = [0.75, 0.75, 0.0]
+        arc = scan_arc(obj, radius=0.3, height=0.15, num_points=8)
+        t = np.linspace(0, np.pi, 8)
+        x = obj[0] - 0.15 * np.cos(np.pi / 4) + 0.3 * np.cos(t) * np.cos(3 * np.pi / 4)
+        np.testing.assert_allclose(arc[:, 0], x, atol=1e-6)
+
+
+@pytest.mark.slow
+class TestGrrPlanFallback:
+    def test_ik_fallback_rescues_unreachable_waypoints(self, small_roadmap):
+        from reconplan_tpu.apps.scan import grr_plan
+
+        res = small_roadmap
+        # waypoints far from the roadmap's arc: roadmap solve fails, the
+        # seeded-IK fallback must still produce configurations
+        pts = np.asarray(
+            [[0.45, 0.45, 0.35, 0.0, 0.0, 0.0, 1.0],
+             [0.5, 0.4, 0.3, 0.0, 0.0, 0.0, 1.0]] * 4,
+            dtype=np.float32,
+        )
+        with_fb = grr_plan(res, pts, ik_fallback=True)
+        without_fb = grr_plan(res, pts, ik_fallback=False)
+        n_with = sum(1 for q in with_fb if q is not None)
+        n_without = sum(1 for q in without_fb if q is not None)
+        assert n_with >= n_without
+        assert n_with > 0
+        # rescued configs must actually reach the waypoint positions
+        robot = res.robot
+        for q, p in zip(with_fb, pts):
+            if q is None:
+                continue
+            ee = np.asarray(robot.fk_point_batch(np.asarray(q)[None]))[0][:3]
+            assert np.linalg.norm(ee - p[:3]) < 5e-3
