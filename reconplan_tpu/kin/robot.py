@@ -207,7 +207,8 @@ class Robot:
         if self.rotation == "variable":
             if int(np.sum(self.rot_domain)) == 1:
                 angle = self._rng.uniform(-np.pi, np.pi)
-                euler = np.asarray(
+                # np.array (copy): np.asarray of a JAX array is read-only
+                euler = np.array(
                     maths.quat_to_euler(jnp.asarray(self.fixed_rotation))
                 )
                 euler[self.rot_domain.index(1)] = angle

@@ -413,7 +413,13 @@ def _exact_frame_bits_dilated(
     NB = bd * bh * bw
     F, Hd, Wd = depths.shape
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    (cand,) = jnp.nonzero(occ_bits != 0, size=cap, fill_value=NB)
+    # stable-argsort compaction (see _integrate_device_all): actives first
+    # in index order, padding -> NB sentinel
+    n_cand = jnp.sum(occ_bits != 0).astype(jnp.int32)
+    cand = jnp.argsort(
+        jnp.where(occ_bits != 0, jnp.int32(0), jnp.int32(1)), stable=True
+    )[:cap]
+    cand = jnp.where(jnp.arange(cap) < n_cand, cand, NB)
     cidx = jnp.minimum(cand, NB - 1)
     bz = cidx // (bh * bw)
     by = (cidx // bw) % bh
