@@ -362,3 +362,16 @@ class TestTeleopCLI:
 
         n = run_teleop(mode="rtde", script="wwwq", verbose=False)
         assert n == 3  # three ticks before 'q'
+
+    def test_scripted_grr_teleop_runs_on_shipped_roadmap(self):
+        """GRR mode drives teleop_solve against graph/ur10/rot_free."""
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.exists("graph/ur10/rot_free/resolution.npz"):
+            _pytest.skip("shipped roadmap missing")
+        from reconplan_tpu.apps.teleop import run_teleop
+
+        n = run_teleop(mode="grr", script="wwq", verbose=False)
+        assert n == 2
