@@ -104,10 +104,14 @@ def main(argv=None):
                     f"  (n={row['n']})"
                 )
 
-    # aggregate over kinds
+    # aggregate over kinds (methods with no valid rows anywhere -> None,
+    # so a fully-failed arm can't ZeroDivisionError the whole run)
     agg = {}
     for method in next(iter(all_results.values())):
         rows = [r[method] for r in all_results.values() if r.get(method)]
+        if not rows:
+            agg[method] = None
+            continue
         agg[method] = {
             "success_rate": sum(r["success_rate"] for r in rows) / len(rows),
             "mean_dtw": sum(r["mean_dtw"] for r in rows) / len(rows),
@@ -115,6 +119,9 @@ def main(argv=None):
         }
     print("\n== aggregate ==")
     for method, row in agg.items():
+        if row is None:
+            print(f"  {method:<11} (no valid rows)")
+            continue
         print(
             f"  {method:<11} success {row['success_rate']:.2f}  "
             f"DTW {row['mean_dtw']:.3f}  ratio {row['mean_ratio']:.2f}"
@@ -125,8 +132,10 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)
+    grr_row = agg.get("grr")
     print(json.dumps({"metric": "teleop success rate (GRR aggregate)",
-                      "value": round(agg["grr"]["success_rate"], 3),
+                      "value": round(grr_row["success_rate"], 3)
+                      if grr_row else None,
                       "unit": "fraction"}))
 
 

@@ -84,8 +84,12 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True,
             pts = np.asarray(workspace_path)[
                 np.pad(bad, (0, B - len(bad)), mode="edge")
             ]
-            robot._rng = np.random.default_rng(0)
-            seeds = np.asarray(robot.sample(B), dtype=np.float32)
+            # local Generator: deterministic fallback seeds without
+            # mutating the robot's shared RNG stream (all later
+            # robot.sample() callers would otherwise become correlated)
+            seeds = np.asarray(
+                robot.sample(B, rng=np.random.default_rng(0)), dtype=np.float32
+            )
             qf, okf = robot.solve_ik_batch(pts[:, :3], seeds)
             qf, okf = np.asarray(qf), np.asarray(okf)
             n_rescued = 0

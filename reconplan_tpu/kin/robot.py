@@ -240,12 +240,17 @@ class Robot:
     # ------------------------------------------------------------------
     # config-space ops (grr/robot.py:165-223)
     # ------------------------------------------------------------------
-    def sample(self, n=None):
-        """Random configuration(s); cyclic joints sample [-pi, pi)."""
+    def sample(self, n=None, rng=None):
+        """Random configuration(s); cyclic joints sample [-pi, pi).
+
+        ``rng`` (optional numpy Generator) draws from a caller-local
+        stream instead of the robot's shared ``_rng`` — use it when a
+        deterministic draw must not perturb other users of the robot."""
         shape = (self.num_joints,) if n is None else (n, self.num_joints)
         lo = np.where(np.isinf(self.joint_limits[:, 0]), -np.pi, self.joint_limits[:, 0])
         hi = np.where(np.isinf(self.joint_limits[:, 1]), np.pi, self.joint_limits[:, 1])
-        return self._rng.uniform(lo, hi, size=shape).astype(np.float32)
+        gen = self._rng if rng is None else rng
+        return gen.uniform(lo, hi, size=shape).astype(np.float32)
 
     def _config_diff(self, q1, q2):
         diff = jnp.asarray(q1) - jnp.asarray(q2)

@@ -408,7 +408,13 @@ def _exact_frame_bits_dilated(
     words, so dilation is per-frame too). Intersecting the conservative
     occupancy superset with this reproduces the round-1 exact+dilate
     coverage class while pruning the occupancy's cell/bin quantization
-    bleed (~3x looser per frame at silhouettes)."""
+    bleed (~3x looser per frame at silhouettes).
+
+    When more than ``cap`` candidate bricks are occupancy-active, the
+    overflow candidates are NOT refined — they keep their conservative
+    occupancy bits instead of being zeroed, so coverage never drops below
+    the occupancy superset regardless of cap (they merely miss the
+    per-frame pruning)."""
     bd, bh, bw = brick_dims
     NB = bd * bh * bw
     F, Hd, Wd = depths.shape
@@ -444,7 +450,15 @@ def _exact_frame_bits_dilated(
         d = depths[f].reshape(-1)[vi * Wd + ui] / depth_scale
         hit = inside & (d > 0) & (d < depth_max) & (jnp.abs(d - z) < band)
         ebits = ebits | jnp.where(hit, jnp.int32(1 << f), 0)
-    dense = jnp.zeros(NB + 1, dtype=jnp.int32).at[cand].max(ebits)
+    # candidates past the cap keep their occupancy bits (conservative):
+    # rank = position among actives in index order, matching the stable
+    # argsort compaction above, so rank < cap <=> examined.
+    rank = jnp.cumsum(occ_bits != 0) - 1
+    unexamined = (occ_bits != 0) & (rank >= cap)
+    base = jnp.where(unexamined, occ_bits, 0)
+    dense = jnp.concatenate(
+        [base, jnp.zeros(1, jnp.int32)]
+    ).at[cand].max(ebits)
     m = dense[:NB].reshape(bd, bh, bw)
     for ax in range(3):
         m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
@@ -1118,7 +1132,10 @@ def _integrate_device_all(
             # occupancy superset. Coverage = round-1's exact+dilate class;
             # tightness ~2x better than occupancy alone (cell/bin
             # quantization bleeds ~40 px at silhouettes). XLA gathers are
-            # fine HERE because only ~2-3k candidate bricks remain.
+            # fine HERE because only ~2-3k candidate bricks remain. The
+            # 4096 refine cap is a compaction-cost knob, not a coverage
+            # limit: overflow candidates keep their occupancy bits
+            # (see _exact_frame_bits_dilated).
             bits = bits & _exact_frame_bits_dilated(
                 bits, d_chunk, T_chunk, origin, voxel_size, trunc,
                 intr, brick_dims, min(max_active, 4096), depth_scale,
@@ -1142,10 +1159,12 @@ def _integrate_device_all(
             mask = m.reshape(-1)
             # dilated-in bricks integrate all frames (conservative)
             bits = jnp.where(mask, bits | jnp.int32((1 << F_chunk) - 1), 0)
-        n_chunk = jnp.minimum(
-            jnp.sum(mask).astype(jnp.int32), jnp.int32(max_active)
-        )
-        n_active = n_active + n_chunk
+        # accumulate the UNCLAMPED mask count so a cap overshoot stays
+        # visible in the returned n_active (n_chunk itself is clamped —
+        # it sizes the kernel's dynamic trip count)
+        n_mask = jnp.sum(mask).astype(jnp.int32)
+        n_chunk = jnp.minimum(n_mask, jnp.int32(max_active))
+        n_active = n_active + n_mask
         meta = jnp.concatenate(
             [
                 origin.astype(jnp.float32),
@@ -1202,8 +1221,12 @@ def integrate_frames_bricked_device(
     same weights as the TSDF (dense-engine / Open3D semantics).
 
     ``max_active`` is a static cap on bricks updated per dispatch; overflow
-    drops the highest-index bricks (check the returned ``n_active`` device
-    scalar against it when in doubt). Returns (grid, n_active_array).
+    drops the highest-index bricks. The returned ``n_active`` accumulates
+    the UNCLAMPED per-chunk active count, so
+    ``n_active > n_chunks * max_active`` (or per-chunk: any chunk whose
+    mask count exceeded the cap) flags a drop — compare against
+    ``len(depths)/frames_per_dispatch * max_active`` when in doubt.
+    Returns (grid, n_active_array).
     """
     depths = jnp.asarray(depths, dtype=jnp.float32)
     poses = jnp.asarray(poses_cam_to_world, dtype=jnp.float32)

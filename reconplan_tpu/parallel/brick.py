@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from reconplan_tpu.ops import tsdf_brick as tb
 from reconplan_tpu.parallel.mesh import make_mesh
