@@ -64,6 +64,7 @@ def build_roadmap(
     out_dir=None,
     resume=False,
     verbose=True,
+    floor_check=None,
 ):
     """Build (or ``resume`` an interrupted build of) a roadmap.
 
@@ -74,7 +75,7 @@ def build_roadmap(
     ``redundancy.py:37-52`` ``load_existed_{ws,solver}_graph``).
     """
     opts = load_problem(robot_name, rotation_type)
-    robot = make_robot(opts)
+    robot = make_robot(opts, floor_check=floor_check)
     res = RedundancyResolution(robot)
 
     if out_dir is None:
@@ -143,6 +144,12 @@ def main(argv=None):
         "--resume", action="store_true",
         help="continue an interrupted build from workspace.npz/solver.npz",
     )
+    ap.add_argument(
+        "--no-floor-check", action="store_true",
+        help="disable the UR10 floor check (reference-ARTIFACT parity: the "
+        "shipped graph/ur10/rot_fixed pickle predates the as-modified "
+        "floor check)",
+    )
     args = ap.parse_args(argv)
     build_roadmap(
         args.robot,
@@ -152,6 +159,7 @@ def main(argv=None):
         seeds=args.seeds,
         out_dir=args.out,
         resume=args.resume,
+        floor_check=False if args.no_floor_check else None,
     )
 
 

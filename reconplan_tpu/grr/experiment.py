@@ -23,7 +23,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from reconplan_tpu.core import maths
-from reconplan_tpu.grr.paths import linear_interpolate
 
 
 # ---------------------------------------------------------------------------
@@ -31,12 +30,81 @@ from reconplan_tpu.grr.paths import linear_interpolate
 # ---------------------------------------------------------------------------
 
 
-def _random_point_in_domain(robot, rng):
-    p = np.array([rng.uniform(a, b) for a, b in robot.domain])
-    if robot.rotation == "variable":
-        g = rng.normal(size=4)
-        return np.concatenate([p, g / np.linalg.norm(g)])
-    return p
+def _batch_reachable(robot, points, rounds=3, rng=None):
+    """Reference endpoint-validity test (``robot.solve_ik(point) is not
+    None``, ``trajectory_generator.py:36-46``) run as batched IK with
+    ``rounds`` random restarts. The reference's Klampt Newton solver makes
+    its single attempt count more often than one LM shot does; a small
+    restart budget matches its effective accept rate without changing the
+    accepted-endpoint distribution (a point is reachable or it is not)."""
+    pts = np.asarray(points, dtype=np.float32)
+    gen = rng if rng is not None else np.random.default_rng(0)
+    ok = np.zeros(len(pts), dtype=bool)
+    for _ in range(rounds):
+        if ok.all():
+            break
+        inits = robot.sample(len(pts), rng=gen)
+        _q, good = robot.solve_ik_batch(pts, inits)
+        ok |= np.asarray(good)
+    return ok
+
+
+def _unit_vector(rng):
+    v = rng.normal(0, 1, 3)
+    n = np.linalg.norm(v)
+    return v / n if n > 1e-6 else _unit_vector(rng)
+
+
+def _line_path(robot, start, goal, n_points):
+    """Straight-line interpolation incl. both endpoints
+    (``trajectory_generator.py:176-187``: n_points+1 samples)."""
+    return np.stack(
+        [
+            robot.workspace_interpolate(start, goal, k / n_points)
+            for k in range(n_points + 1)
+        ]
+    )
+
+
+def _circle_path(start, goal, n_points, rng):
+    """Reference circle construction (``trajectory_generator.py:192-245``):
+    start and goal are diameter endpoints; the circle plane comes from a
+    random up-vector; rotation slerps start->goal->start; the loop closes
+    back at start."""
+    center = (np.asarray(start[:3]) + np.asarray(goal[:3])) / 2
+    diameter_dir = np.asarray(goal[:3]) - np.asarray(start[:3])
+    dn = diameter_dir / max(np.linalg.norm(diameter_dir), 1e-9)
+    up = _unit_vector(rng)
+    while np.isclose(abs(np.dot(up, dn)), 1.0):
+        up = _unit_vector(rng)
+    base_dir = np.cross(diameter_dir, up)
+    base_dir /= max(np.linalg.norm(base_dir), 1e-9)
+    angles = np.linspace(0, 2 * np.pi, n_points + 1, endpoint=True)
+    arm = np.asarray(start[:3]) - center
+
+    path = []
+    for k, ang in enumerate(angles):
+        R = np.asarray(
+            maths.quat_to_matrix(
+                maths.rotvec_to_quat(jnp.asarray(base_dir * ang, dtype=jnp.float32))
+            )
+        )
+        point = center + R @ arm
+        if len(start) > 3:
+            u = 2 * k / n_points
+            if u > 1:
+                u = 2 - u
+            rot = np.asarray(
+                maths.slerp(
+                    jnp.asarray(start[3:7], dtype=jnp.float32),
+                    jnp.asarray(goal[3:7], dtype=jnp.float32),
+                    float(u),
+                )
+            )
+            point = np.concatenate([point, rot])
+        path.append(point)
+    path.append(path[0])  # closed loop (trajectory_generator.py:244-245)
+    return np.stack(path)
 
 
 def generate_trajectories(
@@ -47,60 +115,74 @@ def generate_trajectories(
     hz=50,
     seed=0,
     max_tries=200,
+    batch=256,
 ):
-    """Generate IK-validated task trajectories.
+    """Generate task trajectories per the reference protocol
+    (``trajectory_generator.py:20-249``), endpoint validation batched.
 
-    kinds: line_random (two random reachable points), line_self (random
-    direction from a reachable point), circle_random / circle_out (circular
-    sweeps). Returns list of (T, D) workspace paths.
+    kinds (4 s @ 50 Hz default -> 201-point lines, 202-point circles):
+      * line_random — both endpoints random ``workspace_sample``s, both
+        IK-reachable.
+      * line_self — goal position is the ANTIPODE ``-start[:3]`` (same
+        rotation): the path crosses the robot base.
+      * circle_random — goal within 0.2*min-domain-extent of start; circle
+        through both as diameter endpoints; both reachable.
+      * circle_out — same circle but EXACTLY ONE endpoint reachable (the
+        valid one becomes start): the sweep exits the reachable space.
+
+    Returns list of (T, D) float32 workspace paths.
     """
     rng = np.random.default_rng(seed)
-    n_points = int(duration * hz)
+    n_points = max(int(duration * hz), 1)
+    domain_size = min(b - a for a, b in robot.domain)
+    thresh = 0.2 * domain_size
     out = []
     tries = 0
     while len(out) < n_trajectories and tries < max_tries * n_trajectories:
-        tries += 1
-        a = _random_point_in_domain(robot, rng)
-        if kind.startswith("line"):
-            if kind == "line_self":
-                delta = rng.normal(size=3) * 0.3
-                b = a.copy()
-                b[:3] = np.clip(
-                    a[:3] + delta,
-                    [lo for lo, _ in robot.domain],
-                    [hi for _, hi in robot.domain],
-                )
-            else:
-                b = _random_point_in_domain(robot, rng)
-            # endpoints must both be solvable
-            qa = robot.solve_ik(a)
-            qb = robot.solve_ik(b)
-            if qa is None or qb is None:
-                continue
-            traj = np.stack(
-                [linear_interpolate(a, b, u) for u in np.linspace(0, 1, n_points)]
+        tries += batch
+        starts = np.stack(
+            [robot.workspace_sample(rng=rng) for _ in range(batch)]
+        )
+        if kind == "line_random":
+            goals = np.stack(
+                [robot.workspace_sample(rng=rng) for _ in range(batch)]
             )
-        elif kind.startswith("circle"):
-            center = _random_point_in_domain(robot, rng)
-            radius = rng.uniform(0.05, 0.2)
-            axis = rng.normal(size=3)
-            axis /= np.linalg.norm(axis)
-            # orthonormal frame
-            ref = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 else np.array([0, 1.0, 0])
-            u1 = np.cross(axis, ref); u1 /= np.linalg.norm(u1)
-            u2 = np.cross(axis, u1)
-            th = np.linspace(0, 2 * np.pi, n_points)
-            pos = center[:3] + radius * (np.outer(np.cos(th), u1) + np.outer(np.sin(th), u2))
-            if robot.rotation == "variable":
-                rot = np.tile(center[3:7], (n_points, 1))
-                traj = np.concatenate([pos, rot], axis=-1)
-            else:
-                traj = pos
-            if robot.solve_ik(traj[0]) is None:
-                continue
+        elif kind == "line_self":
+            goals = starts.copy()
+            goals[:, :3] = -starts[:, :3]
+        elif kind in ("circle_random", "circle_out"):
+            others = np.stack(
+                [robot.workspace_sample(rng=rng) for _ in range(batch)]
+            )
+            goals = others.copy()
+            dist = rng.uniform(0, thresh, size=batch)
+            dirs = np.stack([_unit_vector(rng) for _ in range(batch)])
+            goals[:, :3] = starts[:, :3] + dist[:, None] * dirs
         else:
             raise ValueError(f"unknown trajectory kind {kind}")
-        out.append(traj.astype(np.float32))
+
+        sv = _batch_reachable(robot, starts, rng=rng)
+        gv = _batch_reachable(robot, goals, rng=rng)
+        for i in range(batch):
+            if len(out) >= n_trajectories:
+                break
+            if kind == "circle_out":
+                # exactly one endpoint valid; put the valid one at start
+                if sv[i] and not gv[i]:
+                    s, g = starts[i], goals[i]
+                elif gv[i] and not sv[i]:
+                    s, g = goals[i], starts[i]
+                else:
+                    continue
+            else:
+                if not (sv[i] and gv[i]):
+                    continue
+                s, g = starts[i], goals[i]
+            if kind.startswith("line"):
+                traj = _line_path(robot, s, g, n_points)
+            else:
+                traj = _circle_path(s, g, n_points, rng)
+            out.append(traj.astype(np.float32))
     return out
 
 

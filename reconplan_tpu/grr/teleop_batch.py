@@ -1,0 +1,801 @@
+"""Device-batched teleop trajectory-quality benchmark engine.
+
+The reference's headline experiment
+(``Expansion-GRR/experiment/trajectory_quality.py:147-199``) tracks each
+trajectory tick-by-tick in a host loop — 100 trajectories x 4 kinds x 4
+solver arms x ~300 ticks of one-at-a-time IK/continuity calls. At
+tunneled-RPC or even host-CPU dispatch rates that protocol costs ~26 h.
+
+Here ALL N trajectories of a kind advance one tick per device dispatch
+(the ``solve_batch`` pattern of ``resolution.py:251`` applied ACROSS
+trajectories instead of along one path):
+
+  * one batched tracking solve per tick (roadmap SE3 top-k -> joint-space
+    closest seed -> LM-IK -> floor/collision validity), mirroring
+    ``resolution.solve`` tracking mode (``resolution.py:299-330``);
+  * one batched fixed-depth bisection continuity check per tick
+    (``ExpansionSolver.is_continuous_batch``);
+  * the teleop fallback state machines — roadmap path-following on
+    discontinuity and the nearest-node rescue on solve failure
+    (``resolution.py:171-213``) — stay host-side per trajectory, but their
+    continuity primitives batch over whichever trajectories need them.
+
+Solver-arm semantics are the reference's, quirks included:
+  * every arm cold-starts from ``resolution.solve(traj[0])`` and is marked
+    failed outright when start OR end has no resolution solution
+    (``trajectory_quality.py:72-80``);
+  * the Newton arm steps toward the raw IK result whether or not it
+    converged (``resolution.solve(..., regular_ik=True)`` with
+    ``none_on_fail=False``, ``trajectory_quality.py:40-44``);
+  * exactly ``converge_steps`` extra ticks at the goal, no early exit
+    (``trajectory_quality.py:48-56``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from reconplan_tpu.core import maths
+from reconplan_tpu.kin.ik import dls_ik_batch
+from reconplan_tpu.ops.nn import se3_pairwise
+
+
+# ---------------------------------------------------------------------------
+# batched per-tick primitives
+# ---------------------------------------------------------------------------
+
+
+def _pow2(n, lo=4):
+    return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def make_tracking_solver(resolution, max_iters=100, tolerance=1e-3):
+    """Jitted ``(targets (N, D), qs (N, A)) -> (q (N, A), ok (N,))``
+    implementing :meth:`RedundancyResolution.solve` tracking mode for N
+    independent trajectories in one dispatch."""
+    robot = resolution.robot
+    road_pts = jnp.asarray(resolution.points)
+    road_cfg = jnp.asarray(resolution.configs)
+    k = min(resolution.workspace.interpolate_num_neighbors, len(resolution.points))
+
+    @jax.jit
+    def solve_many(targets, qs):
+        pts = jnp.asarray(targets, dtype=jnp.float32)
+        if pts.shape[1] > 3:
+            pts = pts.at[:, 3:7].set(
+                pts[:, 3:7] / jnp.linalg.norm(pts[:, 3:7], axis=-1, keepdims=True)
+            )
+        pos, rotm, use_rot = robot._ik_targets(pts)
+        qpts = pts[:, :3] if road_pts.shape[1] == 3 else pts
+        d = se3_pairwise(qpts, road_pts)  # (N, M)
+        _, idx = jax.lax.top_k(-d, k)  # (N, k)
+        cfgs = road_cfg[idx]  # (N, k, A)
+        jd = robot.distance_batch(qs[:, None, :], cfgs)  # (N, k)
+        seeds = jnp.take_along_axis(
+            cfgs, jnp.argmin(jd, axis=1)[:, None, None], axis=1
+        )[:, 0]
+        res = dls_ik_batch(
+            robot.model, robot._active_tuple, robot.ee_link,
+            pos, rotm, seeds, robot._q_rest,
+            max_iters=max_iters, tolerance=tolerance, use_rotation=use_rot,
+        )
+        q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
+        valid = robot._validate_batch(q)
+        return q, jnp.logical_and(res.success, valid)
+
+    return solve_many
+
+
+def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
+    """ONE fused jitted dispatch per GRR teleop tick.
+
+    Folds the tracking solve, the FK of the current configs, and an
+    inline fixed-depth-2 bisection continuity check (the regime that
+    covers every smooth tracking tick: config distance <= 3*eps) into a
+    single XLA computation. Rows whose config distance needs a deeper
+    subdivision come back flagged ``deep`` and re-check through the full
+    :meth:`ExpansionSolver.is_continuous_batch` on host — by then they are
+    discontinuity candidates anyway.
+
+    Returns ``tick(targets (N, D), qs (N, A)) ->
+    (q_t, ok, curr_pts (N, target_dim), cont, deep)``.
+    """
+    from reconplan_tpu.grr.solver import (
+        _interp_config_batch,
+        _interp_point_batch,
+    )
+
+    robot = resolution.robot
+    road_pts = jnp.asarray(resolution.points)
+    road_cfg = jnp.asarray(resolution.configs)
+    k = min(resolution.workspace.interpolate_num_neighbors, len(resolution.points))
+    A = robot.num_joints
+    eps = float(np.sqrt(A) * 5e-2)  # solver.py:318
+    deviation = 1.8  # solver.py:317
+
+    def _ik(pts, seeds):
+        pos, rotm, use_rot = robot._ik_targets(pts)
+        res = dls_ik_batch(
+            robot.model, robot._active_tuple, robot.ee_link,
+            pos, rotm, seeds, robot._q_rest,
+            max_iters=max_iters, tolerance=tolerance, use_rotation=use_rot,
+        )
+        q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
+        valid = robot._validate_batch(q)
+        return q, jnp.logical_and(res.success, valid)
+
+    @jax.jit
+    def tick(targets, qs):
+        pts = jnp.asarray(targets, dtype=jnp.float32)
+        if target_dim > 3:
+            pts = pts.at[:, 3:7].set(
+                pts[:, 3:7] / jnp.linalg.norm(pts[:, 3:7], axis=-1, keepdims=True)
+            )
+        qs32 = jnp.asarray(qs, dtype=jnp.float32)
+
+        # tracking solve (resolution.py:299-330)
+        qpts = pts[:, :3] if road_pts.shape[1] == 3 else pts
+        d = se3_pairwise(qpts, road_pts)
+        _, idx = jax.lax.top_k(-d, k)
+        cfgs = road_cfg[idx]
+        jd = robot.distance_batch(qs32[:, None, :], cfgs)
+        seeds = jnp.take_along_axis(
+            cfgs, jnp.argmin(jd, axis=1)[:, None, None], axis=1
+        )[:, 0]
+        q_t, ok = _ik(pts, seeds)
+
+        # current workspace points
+        ee = robot.fk_point_batch(qs32)  # (N, 7)
+        curr_pts = ee[:, :target_dim]
+
+        # inline continuity, S=4 segments (solver.py:304-363 semantics)
+        dist = robot.distance_batch(qs32, q_t)
+        n_divs = jnp.ceil(dist / eps).astype(jnp.int32)
+        depth = jnp.ceil(jnp.log2(jnp.maximum(n_divs + 1, 1).astype(jnp.float32)))
+        depth = depth.astype(jnp.int32)
+        deep = depth > 2
+
+        cont = jnp.ones(qs32.shape[0], dtype=bool)
+        Q0, Q4 = qs32, q_t
+        # level 0: midpoint at u=0.5
+        u_l0 = jnp.asarray([0.5], dtype=jnp.float32)
+        seeds0 = _interp_config_batch(
+            Q0[:, None, :], Q4[:, None, :], 0.5, robot._cyclic_mask
+        )[:, 0]
+        t0 = _interp_point_batch(curr_pts, pts[:, :target_dim], u_l0)[:, 0]
+        qm2, v2 = _ik(t0, seeds0)
+        d_seg = robot.distance_batch(Q0, Q4)
+        ok0 = (
+            v2
+            & (robot.distance_batch(Q0, qm2) <= deviation * d_seg)
+            & (robot.distance_batch(qm2, Q4) <= deviation * d_seg)
+        )
+        cont = jnp.where(depth > 0, cont & ok0, cont)
+
+        # level 1: midpoints at u=0.25, 0.75
+        u_l1 = jnp.asarray([0.25, 0.75], dtype=jnp.float32)
+        qa = jnp.stack([Q0, qm2], axis=1)  # (N, 2, A)
+        qb = jnp.stack([qm2, Q4], axis=1)
+        seeds1 = _interp_config_batch(qa, qb, 0.5, robot._cyclic_mask)
+        t1 = _interp_point_batch(curr_pts, pts[:, :target_dim], u_l1)
+        N = qs32.shape[0]
+        qm13, v13 = _ik(
+            t1.reshape(N * 2, -1), seeds1.reshape(N * 2, A)
+        )
+        qm13 = qm13.reshape(N, 2, A)
+        v13 = v13.reshape(N, 2)
+        ds = robot.distance_batch(qa, qb)
+        d1 = robot.distance_batch(qa, qm13)
+        d2 = robot.distance_batch(qm13, qb)
+        ok1 = (v13 & (d1 <= deviation * ds) & (d2 <= deviation * ds)).all(axis=1)
+        cont = jnp.where(depth > 1, cont & ok1, cont)
+
+        return q_t, ok, curr_pts, cont, deep
+
+    return tick
+
+
+def make_plan_helper(resolution, max_iters=100, tolerance=1e-3):
+    """Device-batched ``resolution.plan(..., interpolation=1)`` for the
+    teleop discontinuity fallback (``resolution.py:435-517``).
+
+    The reference's plan() issues ~64 recursive host ``solve`` calls per
+    invocation (4 candidate entry nodes x 8 interpolated feasibility
+    solves per endpoint, then one re-solve per path segment) — measured
+    ~20 s each over a host-looped runtime, and the teleop tick retries a
+    failed plan EVERY tick. Here the 2x4x8 entry-feasibility solves run as
+    ONE roadmap-seeded IK dispatch, the shortest path comes from the
+    native Dijkstra, and the interpolation=1 segment re-solves collapse to
+    the roadmap configs themselves (solve() at a roadmap node is the
+    exact-node match, ``resolution.py:313-318``). Documented divergence:
+    entry feasibility seeds IK from the nearest roadmap config instead of
+    the reference's recursive cold solve — same accept intent, fixed
+    dispatch count."""
+    robot = resolution.robot
+    road_pts = jnp.asarray(resolution.points)
+    road_cfg = jnp.asarray(resolution.configs)
+
+    @jax.jit
+    def solve_points(pts):
+        pts = jnp.asarray(pts, dtype=jnp.float32)
+        pos, rotm, use_rot = robot._ik_targets(pts)
+        qpts = pts[:, :3] if road_pts.shape[1] == 3 else pts
+        d = se3_pairwise(qpts, road_pts)
+        seeds = road_cfg[jnp.argmin(d, axis=1)]
+        res = dls_ik_batch(
+            robot.model, robot._active_tuple, robot.ee_link,
+            pos, rotm, seeds, robot._q_rest,
+            max_iters=max_iters, tolerance=tolerance, use_rotation=use_rot,
+        )
+        q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
+        valid = robot._validate_batch(q)
+        return q, jnp.logical_and(res.success, valid)
+
+    n_div = 8  # resolution.py:448-474 num_div
+    k_entry = min(4, len(resolution.points))
+
+    def plan_fast(curr_pt, target_pt, q_goal):
+        """-> (T, A) config path [q(curr), roadmap configs..., q_goal] or
+        None when no feasible entry/path exists."""
+        pts2 = np.stack(
+            [np.asarray(curr_pt, dtype=np.float32),
+             np.asarray(target_pt, dtype=np.float32)]
+        )
+        nbrs = resolution.workspace.get_workspace_neighbors(
+            pts2, k=k_entry, points=resolution.points
+        )  # (2, k)
+        subs = []
+        for e in range(2):
+            for n in nbrs[e]:
+                node_pt = resolution.points[int(n)]
+                for kk in range(n_div):
+                    subs.append(
+                        robot.workspace_interpolate(
+                            pts2[e], node_pt, kk / n_div
+                        )
+                    )
+        subs = np.asarray(subs, dtype=np.float32)
+        _q, ok = solve_points(jnp.asarray(subs))
+        ok = np.asarray(ok).reshape(2, k_entry, n_div)
+        entry = [None, None]
+        for e in range(2):
+            for c in range(k_entry):
+                if ok[e, c].all():
+                    entry[e] = int(nbrs[e][c])
+                    break
+        if entry[0] is None or entry[1] is None:
+            return None
+        path = resolution._dijkstra(entry[0], entry[1])
+        if path is None:
+            return None
+        c_path = [resolution.configs[p].astype(np.float64) for p in path]
+        c_path.append(np.asarray(q_goal, dtype=np.float64))
+        return np.asarray(c_path)
+
+    return plan_fast
+
+
+def make_newton_solver(robot, max_iters=100, tolerance=1e-3):
+    """Jitted plain-IK tick: seeds from the current configs, returns the
+    raw LM-IK result regardless of convergence (reference Newton-arm
+    semantics)."""
+
+    @jax.jit
+    def solve_many(targets, qs):
+        pts = jnp.asarray(targets, dtype=jnp.float32)
+        pos, rotm, use_rot = robot._ik_targets(pts)
+        res = dls_ik_batch(
+            robot.model, robot._active_tuple, robot.ee_link,
+            pos, rotm, qs, robot._q_rest,
+            max_iters=max_iters, tolerance=tolerance, use_rotation=use_rot,
+        )
+        q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
+        return q
+
+    return solve_many
+
+
+def step_toward_batch(robot, qs, targets, max_change):
+    """Vectorized ``teleop_towards`` (``resolution.py:215-228``): clamped
+    shortest-path step of each row toward its target config."""
+    qs = np.asarray(qs, dtype=np.float64)
+    targets = np.asarray(targets, dtype=np.float64)
+    cyc = np.asarray(robot._cyclic_mask)
+    diff = targets - qs
+    diff = np.where(cyc, np.mod(diff + np.pi, 2 * np.pi) - np.pi, diff)
+    m = np.abs(diff).max(axis=1)
+    u = np.where(m < max_change, 1.0, max_change / np.maximum(m, 1e-12))
+    out = qs + u[:, None] * diff
+    out = np.where(cyc, np.mod(out + np.pi, 2 * np.pi) - np.pi, out)
+    return out
+
+
+def _fk_points_batch(robot, qs):
+    """Current workspace points of a config batch, dimensioned like the
+    trajectory targets (pos-only unless the robot tracks rotation)."""
+    pts = np.asarray(robot.fk_point_batch(np.asarray(qs, dtype=np.float32)))
+    if robot.rotation != "variable":
+        return pts[:, :3]
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# arms
+# ---------------------------------------------------------------------------
+
+
+def grr_teleop_batch(
+    resolution, trajs, q0s, alive, max_change=0.04, converge_steps=100,
+    verbose=False,
+):
+    """Track N same-length trajectories with GRR teleop, ticks batched.
+
+    Args:
+        resolution: loaded RedundancyResolution.
+        trajs: (N, T, D) workspace trajectories.
+        q0s: (N, A) start configs (from cold resolution.solve).
+        alive: (N,) bool — rows with a valid start/end resolution solution.
+
+    Returns list of N (T_i, A) config trajectories ([] where not alive),
+    plus a dict of fallback-path statistics.
+    """
+    robot = resolution.robot
+    trajs = np.asarray(trajs)
+    N, T, D = trajs.shape
+    tick = make_grr_tick(resolution, D)
+    plan_fast = make_plan_helper(resolution)
+    qs = np.asarray(q0s, dtype=np.float64).copy()
+    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
+    plan_path = [None] * N
+    plan_idx = [0] * N
+    stats = {"ticks": 0, "continuous": 0, "plan_follow": 0, "rescue": 0,
+             "stuck": 0, "deep_recheck": 0}
+
+    for t in range(T + converge_steps):
+        targets = trajs[:, min(t, T - 1)]
+        q_t, ok, curr_pts, cont, deep = tick(
+            jnp.asarray(targets, dtype=jnp.float32),
+            jnp.asarray(qs, dtype=jnp.float32),
+        )
+        q_t = np.asarray(q_t, dtype=np.float64)
+        ok = np.asarray(ok) & alive
+        curr_pts = np.asarray(curr_pts, dtype=np.float64)
+        cont = np.asarray(cont).copy()
+        deep = np.asarray(deep)
+
+        # rows whose bisection needs more than 2 levels: full host check
+        deep_rows = np.flatnonzero(deep & ok)
+        if len(deep_rows):
+            stats["deep_recheck"] += len(deep_rows)
+            cont[deep_rows] = np.asarray(
+                resolution.solver.is_continuous_batch(
+                    qs[deep_rows], q_t[deep_rows],
+                    curr_pts[deep_rows], targets[deep_rows],
+                )
+            )
+
+        smooth = ok & cont
+        stepped = step_toward_batch(robot, qs, q_t, max_change)
+
+        rescue_rows = []
+        for i in range(N):
+            if not alive[i]:
+                continue
+            stats["ticks"] += 1
+            if smooth[i]:
+                plan_path[i] = None
+                plan_idx[i] = 0
+                qs[i] = stepped[i]
+                stats["continuous"] += 1
+            elif ok[i]:
+                # discontinuity: follow a roadmap plan (resolution.py:171-195)
+                stats["plan_follow"] += 1
+                if plan_path[i] is None:
+                    c_path = plan_fast(curr_pts[i], targets[i], q_t[i])
+                    if c_path is not None and len(c_path) > 1:
+                        plan_path[i] = np.asarray(c_path, dtype=np.float64)
+                        plan_idx[i] = 1
+                        qs[i] = step_toward_batch(
+                            robot, qs[i][None], plan_path[i][1][None],
+                            max_change,
+                        )[0]
+                    else:
+                        stats["stuck"] += 1
+                else:
+                    plan_idx[i] += 1
+                    if plan_idx[i] < len(plan_path[i]):
+                        qs[i] = step_toward_batch(
+                            robot, qs[i][None],
+                            plan_path[i][plan_idx[i]][None], max_change,
+                        )[0]
+                    else:
+                        plan_path[i] = None
+                        plan_idx[i] = 0
+            else:
+                rescue_rows.append(i)
+
+        if rescue_rows:
+            # solve-failure fallback: nearest 5 roadmap nodes, first whose
+            # config is continuous from here (resolution.py:197-213)
+            stats["rescue"] += len(rescue_rows)
+            F = len(rescue_rows)
+            Fp = _pow2(F)
+            rows = rescue_rows + [rescue_rows[-1]] * (Fp - F)
+            nbrs = resolution.workspace.get_workspace_neighbors(
+                targets[rows].astype(np.float32),
+                k=min(5, len(resolution.points)), points=resolution.points,
+            )  # (Fp, 5)
+            K5 = nbrs.shape[1]
+            qn = resolution.configs[nbrs.reshape(-1)]  # (Fp*5, A)
+            pn = resolution.points[nbrs.reshape(-1)]
+            qrep = np.repeat(qs[rows], K5, axis=0)
+            prep = np.repeat(curr_pts[rows], K5, axis=0)
+            cont5 = np.asarray(
+                resolution.solver.is_continuous_batch(qn, qrep, pn, prep)
+            ).reshape(Fp, K5)
+            for r, i in enumerate(rescue_rows):
+                hit = np.flatnonzero(cont5[r])
+                if len(hit):
+                    qs[i] = step_toward_batch(
+                        robot, qs[i][None],
+                        resolution.configs[nbrs[r, hit[0]]][None].astype(
+                            np.float64
+                        ),
+                        max_change,
+                    )[0]
+                else:
+                    stats["stuck"] += 1
+
+        for i in range(N):
+            if alive[i]:
+                c_trajs[i].append(qs[i].copy())
+        if verbose and t % 50 == 0:
+            print(f"  tick {t}/{T + converge_steps}  "
+                  f"smooth {int(smooth.sum())}/{int(alive.sum())}")
+
+    return [np.asarray(c) for c in c_trajs], stats
+
+
+def newton_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
+                        converge_steps=100):
+    """Plain-IK tracking arm, ticks batched (reference
+    ``newton_teleop_solver`` semantics: step toward the raw IK result)."""
+    trajs = np.asarray(trajs)
+    N, T, D = trajs.shape
+    solver = make_newton_solver(robot)
+    qs = np.asarray(q0s, dtype=np.float64).copy()
+    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
+    for t in range(T + converge_steps):
+        targets = trajs[:, min(t, T - 1)]
+        q_t = np.asarray(
+            solver(jnp.asarray(targets, dtype=jnp.float32),
+                   jnp.asarray(qs, dtype=jnp.float32)),
+            dtype=np.float64,
+        )
+        stepped = step_toward_batch(robot, qs, q_t, max_change)
+        qs[alive] = stepped[alive]
+        for i in range(N):
+            if alive[i]:
+                c_trajs[i].append(qs[i].copy())
+    return [np.asarray(c) for c in c_trajs]
+
+
+def relaxed_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
+                         converge_steps=100):
+    """RelaxedIK arm, ticks batched (vmapped ``_relaxed_step``)."""
+    from reconplan_tpu.kin.relaxed import _relaxed_step
+
+    trajs = np.asarray(trajs)
+    N, T, D = trajs.shape
+    weights = jnp.asarray([50.0, 10.0, 1.0, 1.0], dtype=jnp.float32)
+
+    if robot.rotation == "fixed" and robot.fixed_rotation is not None:
+        fixed_quat = np.asarray(robot.fixed_rotation, dtype=np.float32)
+    else:
+        fixed_quat = np.asarray([0, 0, 0, 1], dtype=np.float32)
+
+    step_many = jax.jit(
+        jax.vmap(
+            lambda q, p, r: _relaxed_step(
+                robot.model, robot._active_tuple, robot.ee_link,
+                q, p, r, robot._q_rest, weights,
+            )
+        )
+    )
+
+    qs = np.asarray(q0s, dtype=np.float64).copy()
+    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
+    for t in range(T + converge_steps):
+        targets = trajs[:, min(t, T - 1)]
+        pos = jnp.asarray(targets[:, :3], dtype=jnp.float32)
+        if D > 3:
+            quat = jnp.asarray(targets[:, 3:7], dtype=jnp.float32)
+            quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        else:
+            quat = jnp.broadcast_to(jnp.asarray(fixed_quat), (N, 4))
+        q_t = np.asarray(
+            step_many(jnp.asarray(qs, dtype=jnp.float32), pos, quat),
+            dtype=np.float64,
+        )
+        stepped = step_toward_batch(robot, qs, q_t, max_change)
+        qs[alive] = stepped[alive]
+        for i in range(N):
+            if alive[i]:
+                c_trajs[i].append(qs[i].copy())
+    return [np.asarray(c) for c in c_trajs]
+
+
+# ---------------------------------------------------------------------------
+# metrics (experiment/utils.py semantics, batched)
+# ---------------------------------------------------------------------------
+
+
+def interpolated_configs(robot, c_traj, num_div):
+    """All ``num_div`` interpolation steps between consecutive configs,
+    flattened: (T-1)*num_div rows (``experiment/utils.py:48-60,72-84``)."""
+    c = np.asarray(c_traj, dtype=np.float64)
+    qa = np.repeat(c[:-1], num_div, axis=0)
+    qb = np.repeat(c[1:], num_div, axis=0)
+    u = np.tile((np.arange(num_div) + 1) / num_div, len(c) - 1)[:, None]
+    cyc = np.asarray(robot._cyclic_mask)
+    diff = qb - qa
+    diff = np.where(cyc, np.mod(diff + np.pi, 2 * np.pi) - np.pi, diff)
+    out = qa + u * diff
+    return np.where(cyc, np.mod(out + np.pi, 2 * np.pi) - np.pi, out)
+
+
+def check_c_traj_batch(robot, goal, c_traj, num_div=8, chunk=4096):
+    """Reference validity (``experiment/utils.py:30-63``): the final config
+    reaches the goal (position within 0.1; rotation within 0.1 rad when the
+    robot tracks rotation) AND no self-collision along the num_div-times
+    interpolated path.
+
+    Divergence (documented): for variable-rotation problems the rotation is
+    checked against the GOAL's own quaternion; the reference compares
+    against ``fixed_rotation`` (``utils.py:37-44``), which is only correct
+    for rot_fixed problems — its benchmark default."""
+    if len(c_traj) == 0:
+        return False
+    c_traj = np.asarray(c_traj, dtype=np.float32)
+    ee = np.asarray(robot.fk_point_batch(c_traj[-1:]))[0]
+    goal = np.asarray(goal)
+    if np.linalg.norm(ee[:3] - goal[:3]) > 0.1:
+        return False
+    if robot.rotation != "free":
+        if len(goal) > 3:
+            ref_quat = goal[3:7]
+        elif robot.fixed_rotation is not None:
+            ref_quat = np.asarray(robot.fixed_rotation)
+        else:
+            ref_quat = None
+        if ref_quat is not None:
+            ang = 2 * np.arccos(
+                min(1.0, abs(float(np.dot(ee[3:7], ref_quat))))
+            )
+            if ang > 0.1:
+                return False
+    qi = interpolated_configs(robot, c_traj, num_div)
+    for s in range(0, len(qi), chunk):
+        if robot.check_self_collision_batch(qi[s : s + chunk]).any():
+            return False
+    return True
+
+
+def ws_traj_batch(robot, start, c_traj, num_div=4):
+    """FK-resampled workspace trajectory (``experiment/utils.py:66-84``):
+    starts at the input start point, then FK of every interpolated config."""
+    qi = interpolated_configs(robot, c_traj, num_div)
+    pts = _fk_points_batch(robot, qi)
+    start = np.asarray(start, dtype=np.float64)[: pts.shape[1]]
+    return np.concatenate([start[None], pts], axis=0)
+
+
+def se3_cost_matrix(a, b):
+    """(n, D) x (m, D) -> (n, m) workspace SE3 distances."""
+    return np.asarray(
+        se3_pairwise(
+            jnp.asarray(np.asarray(a), dtype=jnp.float32),
+            jnp.asarray(np.asarray(b), dtype=jnp.float32),
+        )
+    )
+
+
+def dtw_reference(traj1, traj2):
+    """Reference DTW (``experiment/utils.py:87-144``): DP matrix with
+    inf-filled first row/column, backtracked index pairs, distance = sum of
+    pairwise costs along the path normalized by ``len(traj1)``.
+
+    The row recurrence D[i,j] = c[j] + min(D[i-1,j], D[i-1,j-1], D[i,j-1])
+    vectorizes via prefix sums: unrolling horizontal moves gives
+    D[i,j] = S[j] + min_{k<=j}(m'[k] - S[k-1]) with m' = min of the two
+    upper entries and S = cumsum(c) — an O(m) ``minimum.accumulate`` per
+    row instead of an O(m) Python loop."""
+    a = np.asarray(traj1)
+    b = np.asarray(traj2)
+    cost = se3_cost_matrix(a, b).astype(np.float64)
+    n, m = cost.shape
+    D = np.full((n, m), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n):
+        up = D[i - 1]
+        mprime = np.minimum(up, np.concatenate([[np.inf], up[:-1]]))
+        c = cost[i]
+        S = np.cumsum(c)
+        S_prev = S - c
+        with np.errstate(invalid="ignore"):
+            D[i] = S + np.minimum.accumulate(mprime - S_prev)
+
+    # backtrack (utils.py:105-129)
+    i, j = n - 1, m - 1
+    pairs = []
+    while i > 0 and j > 0:
+        pairs.append((i, j))
+        step = int(np.argmin([D[i - 1, j], D[i, j - 1], D[i - 1, j - 1]]))
+        if step == 0:
+            i -= 1
+        elif step == 1:
+            j -= 1
+        else:
+            i -= 1
+            j -= 1
+    if i == 0:
+        pairs.extend((0, jj) for jj in range(j + 1))
+    else:
+        pairs.extend((ii, 0) for ii in range(i + 1))
+
+    dist = float(sum(cost[i, j] for i, j in pairs))
+    return dist / len(a)
+
+
+def config_lengths(robot, c_traj):
+    c = np.asarray(c_traj)
+    if len(c) < 2:
+        return 0.0
+    d = np.asarray(
+        robot.distance_batch(jnp.asarray(c[:-1], dtype=jnp.float32),
+                             jnp.asarray(c[1:], dtype=jnp.float32))
+    )
+    return float(d.sum())
+
+
+def ws_length(w_traj):
+    w = np.asarray(w_traj)
+    if len(w) < 2:
+        return 0.0
+    seg = np.asarray(
+        maths.se3_distance(
+            jnp.asarray(w[:-1], dtype=jnp.float32),
+            jnp.asarray(w[1:], dtype=jnp.float32),
+        )
+    )
+    return float(seg.sum())
+
+
+# ---------------------------------------------------------------------------
+# the full benchmark
+# ---------------------------------------------------------------------------
+
+
+def cold_starts(resolution, trajs):
+    """Per-trajectory q0 via cold resolution.solve of start AND end
+    (``trajectory_quality.py:72-80``). Returns (q0s (N, A), alive (N,))."""
+    robot = resolution.robot
+    N = len(trajs)
+    q0s = np.zeros((N, robot.num_joints), dtype=np.float64)
+    alive = np.zeros(N, dtype=bool)
+    for i, traj in enumerate(trajs):
+        q0 = resolution.solve(traj[0], none_on_fail=True)
+        if q0 is None:
+            continue
+        if resolution.solve(traj[-1], none_on_fail=True) is None:
+            continue
+        q0s[i] = np.asarray(q0, dtype=np.float64)
+        alive[i] = True
+    return q0s, alive
+
+
+def analyze_arm(robot, trajs, c_trajs, num_div=4):
+    """Per-trajectory metrics rows (``analyze_results`` semantics)."""
+    rows = []
+    for traj, c_traj in zip(trajs, c_trajs):
+        ok = check_c_traj_batch(robot, traj[-1], c_traj)
+        row = {"success": bool(ok)}
+        if len(c_traj):
+            w_traj = ws_traj_batch(robot, traj[0], c_traj, num_div)
+            c_len = config_lengths(robot, c_traj)
+            w_len = ws_length(w_traj)
+            row.update(
+                dtw=dtw_reference(traj, w_traj),
+                c_length=c_len,
+                w_length=w_len,
+                ratio=c_len / max(w_len, 1e-9),
+            )
+        rows.append(row)
+    return rows
+
+
+def summarize(rows, success_only=True):
+    n = len(rows)
+    if n == 0:
+        return {}
+    succ = [r for r in rows if r["success"]]
+    vals = succ if success_only else [r for r in rows if "dtw" in r]
+    out = {
+        "success_rate": len(succ) / n,
+        "n": n,
+        "n_valid": len(vals),
+    }
+    for key in ("dtw", "ratio", "c_length", "w_length"):
+        xs = [r[key] for r in vals if key in r]
+        out[f"mean_{key}"] = float(np.mean(xs)) if xs else None
+    return out
+
+
+def run_reference_benchmark(
+    resolution,
+    trajectories_by_kind,
+    random_resolution=None,
+    include_relaxed=True,
+    max_change=0.04,
+    converge_steps=100,
+    verbose=True,
+):
+    """All arms x all kinds at the reference protocol, ticks batched.
+
+    ``trajectories_by_kind``: {kind: list of (T, D) paths}. Returns
+    {kind: {arm: summary}} plus per-arm GRR fallback statistics.
+    """
+    robot = resolution.robot
+    results = {}
+    stats_out = {}
+    for kind, trajs in trajectories_by_kind.items():
+        if not trajs:
+            results[kind] = {}
+            continue
+        trajs = np.stack(trajs)
+        q0s, alive = cold_starts(resolution, trajs)
+        if verbose:
+            print(f"[{kind}] {int(alive.sum())}/{len(trajs)} alive starts")
+        kind_res = {}
+
+        grr_c, grr_stats = grr_teleop_batch(
+            resolution, trajs, q0s, alive, max_change, converge_steps,
+            verbose=verbose,
+        )
+        kind_res["grr"] = summarize(analyze_arm(robot, trajs, grr_c))
+        stats_out[kind] = {"grr": grr_stats}
+
+        if random_resolution is not None:
+            rq0, ralive = cold_starts(random_resolution, trajs)
+            rand_c, rand_stats = grr_teleop_batch(
+                random_resolution, trajs, rq0, ralive, max_change,
+                converge_steps,
+            )
+            kind_res["random_grr"] = summarize(analyze_arm(robot, trajs, rand_c))
+            stats_out[kind]["random_grr"] = rand_stats
+
+        newton_c = newton_teleop_batch(
+            robot, trajs, q0s, alive, max_change, converge_steps
+        )
+        kind_res["newton"] = summarize(analyze_arm(robot, trajs, newton_c))
+
+        if include_relaxed:
+            relaxed_c = relaxed_teleop_batch(
+                robot, trajs, q0s, alive, max_change, converge_steps
+            )
+            kind_res["relaxed"] = summarize(analyze_arm(robot, trajs, relaxed_c))
+
+        results[kind] = kind_res
+        if verbose:
+            for arm, row in kind_res.items():
+                if row:
+                    print(
+                        f"  {arm:<11} success {row['success_rate']:.2f} "
+                        f"dtw {row['mean_dtw'] if row['mean_dtw'] is not None else float('nan'):.4f} "
+                        f"ratio {row['mean_ratio'] if row['mean_ratio'] is not None else float('nan'):.2f} "
+                        f"(n={row['n']}, valid={row['n_valid']})"
+                    )
+    return results, stats_out

@@ -60,7 +60,18 @@ def dls_ik(
     use_rotation: bool = True,
     damping: float = 0.1,
 ):
-    """Solve one IK problem with damped least squares.
+    """Solve one IK problem with Levenberg-Marquardt damped least squares.
+
+    Klampt's ``ik.solver`` (the reference's IK engine,
+    ``grr/robot.py:245-312``) is a Newton-Raphson with a robust line
+    search; a fixed-damping DLS without step control converges far less
+    often from distant seeds (measured 13% vs Klampt-class ~80% single
+    shot on a ur10 rot_fixed workspace grid). This uses the standard LM
+    accept/reject scheme for equivalent robustness in a fixed-shape
+    ``lax.while_loop``: try a step at the current damping; accept and
+    soften the damping if the error norm drops, otherwise keep the old
+    iterate and stiffen. Rejected steps cost one FK (no Jacobian reuse is
+    attempted — FK is cheap relative to the 6x6 solve).
 
     Args:
         model: kinematic chain.
@@ -74,7 +85,8 @@ def dls_ik(
         max_iters / tolerance: Klampt-compatible stop criteria — success
             when the stacked error norm falls below ``tolerance``.
         use_rotation: include the rotation rows of the Jacobian.
-        damping: Levenberg damping added to the normal equations.
+        damping: initial Levenberg damping (adapted per step in
+            [1e-4, 1e3]).
 
     Returns: IKResult of scalars/vectors.
     """
@@ -99,25 +111,35 @@ def dls_ik(
     err_dim = 6 if use_rotation else 3
 
     def cond(state):
-        q, err_norm, it = state
+        q, lam, err_norm, it = state
         return jnp.logical_and(it < max_iters, err_norm >= tolerance)
 
     def body(state):
-        q, _, it = state
+        q, lam, err_norm, it = state
         e = error_of(q)
         J = jac_of(q)
-        # DLS step: dq = J^T (J J^T + lambda^2 I)^{-1} e
+        # LM step: dq = J^T (J J^T + lambda^2 I)^{-1} e
         JJt = jnp.matmul(J, J.T, precision=jax.lax.Precision.HIGHEST)
-        A = JJt + (damping**2) * jnp.eye(err_dim, dtype=q.dtype)
+        A = JJt + (lam**2) * jnp.eye(err_dim, dtype=q.dtype)
         y = jnp.linalg.solve(A, e)
         dq = jnp.matmul(J.T, y, precision=jax.lax.Precision.HIGHEST)
-        q_new = jnp.clip(q + dq, qmin, qmax)
-        e_new = error_of(q_new)
-        return q_new, jnp.linalg.norm(e_new), it + 1
+        q_try = jnp.clip(q + dq, qmin, qmax)
+        e_try = jnp.linalg.norm(error_of(q_try))
+        accept = e_try < err_norm
+        q_new = jnp.where(accept, q_try, q)
+        lam_new = jnp.where(
+            accept, jnp.maximum(lam * 0.5, 1e-4), jnp.minimum(lam * 4.0, 1e3)
+        )
+        return q_new, lam_new, jnp.where(accept, e_try, err_norm), it + 1
 
     e0 = error_of(init_config)
-    state0 = (init_config, jnp.linalg.norm(e0), jnp.array(0, dtype=jnp.int32))
-    q_final, err_norm, iters = jax.lax.while_loop(cond, body, state0)
+    state0 = (
+        init_config,
+        jnp.asarray(damping, dtype=init_config.dtype),
+        jnp.linalg.norm(e0),
+        jnp.array(0, dtype=jnp.int32),
+    )
+    q_final, _lam, err_norm, iters = jax.lax.while_loop(cond, body, state0)
 
     e_final = error_of(q_final)
     pos_err = jnp.linalg.norm(e_final[:3])

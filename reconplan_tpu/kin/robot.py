@@ -201,12 +201,16 @@ class Robot:
     # ------------------------------------------------------------------
     # workspace ops (grr/robot.py:93-163)
     # ------------------------------------------------------------------
-    def workspace_sample(self, key=None):
-        """Sample a workspace point ([x,y,z] or [x,y,z,qx,qy,qz,qw])."""
-        point = [self._rng.uniform(a, b) for (a, b) in self.domain]
+    def workspace_sample(self, key=None, rng=None):
+        """Sample a workspace point ([x,y,z] or [x,y,z,qx,qy,qz,qw]).
+
+        ``rng``: optional caller-local numpy Generator (see
+        :meth:`sample`)."""
+        gen = self._rng if rng is None else rng
+        point = [gen.uniform(a, b) for (a, b) in self.domain]
         if self.rotation == "variable":
             if int(np.sum(self.rot_domain)) == 1:
-                angle = self._rng.uniform(-np.pi, np.pi)
+                angle = gen.uniform(-np.pi, np.pi)
                 # np.array (copy): np.asarray of a JAX array is read-only
                 euler = np.array(
                     maths.quat_to_euler(jnp.asarray(self.fixed_rotation))
@@ -214,7 +218,7 @@ class Robot:
                 euler[self.rot_domain.index(1)] = angle
                 quat = np.asarray(maths.euler_to_quat(jnp.asarray(euler)))
             else:
-                g = self._rng.normal(size=4)
+                g = gen.normal(size=4)
                 quat = g / np.linalg.norm(g)
             point = np.concatenate([point, quat])
         return np.asarray(point)
@@ -415,21 +419,36 @@ class Robot:
     def _validate_batch(self, configs):
         return jax.vmap(self._validate_device)(configs)
 
-    def check_self_collision(self, q):
-        """True when the arm links collide with the end-effector group
-        (grr/robot.py:381-392)."""
-        if self._capsules is None:
-            return False
-        config = jnp.asarray(q, dtype=jnp.float32)
+    @partial(jax.jit, static_argnums=0)
+    def _self_collision_device(self, config):
         full = self._q_rest.at[self._active_idx].set(config)
         R, t = fk_all(self.model, full)
         gs, ge = self._capsules["self"], self._capsules["ee"]
         segs_a = coll.transform_capsules(R[gs[0]], t[gs[0]], gs[1], gs[2])
         segs_b = coll.transform_capsules(R[ge[0]], t[ge[0]], ge[1], ge[2])
-        return bool(
-            coll.capsule_group_collision(
-                segs_a, gs[3], segs_b, ge[3], self._capsules["thresholds"]
+        return coll.capsule_group_collision(
+            segs_a, gs[3], segs_b, ge[3], self._capsules["thresholds"]
+        )
+
+    def check_self_collision_batch(self, qs):
+        """(B, A) -> (B,) bool; the batched validity-scan primitive of the
+        teleop benchmark (``experiment/utils.py:48-60`` loops this check
+        per interpolated config)."""
+        if self._capsules is None:
+            return np.zeros(len(qs), dtype=bool)
+        return np.asarray(
+            jax.vmap(self._self_collision_device)(
+                jnp.asarray(qs, dtype=jnp.float32)
             )
+        )
+
+    def check_self_collision(self, q):
+        """True when the arm links collide with the end-effector group
+        (grr/robot.py:381-392)."""
+        if self._capsules is None:
+            return False
+        return bool(
+            self._self_collision_device(jnp.asarray(q, dtype=jnp.float32))
         )
 
 
@@ -493,14 +512,28 @@ _ROBOT_CLASSES = {
 }
 
 
-def make_robot(opts: dict) -> Robot:
+def make_robot(opts: dict, floor_check: bool | None = None) -> Robot:
     """Instantiate from a problem dict (see io.config.load_problem), the
     equivalent of the reference's ``getattr(sys.modules, robot_class)``
-    pattern (``redundancy.py:20-27``)."""
+    pattern (``redundancy.py:20-27``).
+
+    ``floor_check`` (or an opts key of the same name) overrides the
+    class default. The as-modified reference adds a floor check to
+    ``UR10.solve_ik`` (``grr/robot.py:452-461``) but its SHIPPED
+    ``graph/ur10/rot_fixed`` roadmap predates it (its own configs put
+    wrist links below z=0) — artifact-parity builds pass
+    ``floor_check=False``."""
     cls = _ROBOT_CLASSES[opts["robot_class"]]
-    return cls(
+    robot = cls(
         opts["robot_name"],
         opts["domain"],
         opts["rotation_domain"],
         opts.get("fixed_rotation"),
     )
+    if floor_check is None:
+        floor_check = opts.get("floor_check")
+    if floor_check is not None:
+        # instance attr shadows the class default; must be set before the
+        # first _validate_device trace (jit treats self as static)
+        robot.FLOOR_CHECK = bool(floor_check)
+    return robot

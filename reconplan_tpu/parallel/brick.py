@@ -87,7 +87,7 @@ def sharded_integrate_frames_bricked(
         mesh=mesh,
         in_specs=(vol_spec, vol_spec, rep, rep, rep),
         out_specs=(vol_spec, vol_spec, P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     def shard_fn(sdf_l, w_l, depths_r, poses_r, intr_r):
         dev = jax.lax.axis_index(axis)

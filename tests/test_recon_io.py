@@ -316,7 +316,11 @@ class TestExperiment:
         trajs = generate_trajectories(robot, "line_random", n_trajectories=2,
                                       duration=1.0, hz=10)
         assert len(trajs) >= 1
-        assert trajs[0].shape[0] == 10
+        # reference protocol: n_points + 1 samples incl. both endpoints
+        # (trajectory_generator.py:178-187)
+        assert trajs[0].shape[0] == 11
+        # rot_variable_yaw: rotations sampled yaw-only around fixed_rotation
+        assert trajs[0].shape[1] == 7
 
 
 class TestHtmlExport:

@@ -199,6 +199,70 @@ class TestMarchingCubes:
         tris = marching_cubes(grid)
         assert len(tris) == 0
 
+    @staticmethod
+    def _sphere_grid(n=64, r=0.1):
+        vox = 0.3 / (n - 1)
+        grid = tsdf_ops.make_grid((n, n, n), (-0.15,) * 3, vox, trunc=1.0)
+        zi, yi, xi = np.meshgrid(*[np.arange(n)] * 3, indexing="ij")
+        coords = np.stack([xi, yi, zi], -1) * vox + np.array([-0.15] * 3)
+        sdf = np.linalg.norm(coords, axis=-1) - r
+        return grid._replace(
+            sdf=jnp.asarray(sdf, dtype=jnp.float32),
+            weight=jnp.ones((n, n, n), jnp.float32),
+        ), vox
+
+    def test_table_generated_correctly(self):
+        """Generated 256-case table hits the classic invariants."""
+        from reconplan_tpu.ops.marching import _MC_NTRIS, _MC_TRI_TABLE
+
+        assert _MC_TRI_TABLE.shape == (256, 5, 3)  # classic max = 5 tris
+        assert _MC_NTRIS[0] == 0 and _MC_NTRIS[255] == 0
+        # every non-trivial case emits triangles (no silently-empty cases)
+        assert (_MC_NTRIS[1:255] > 0).all()
+        # single-corner cases cut one triangle; their complements cut the
+        # same corner from the other side
+        for c in (1, 2, 4, 8, 16, 32, 64, 128):
+            assert _MC_NTRIS[c] == 1
+            assert _MC_NTRIS[255 - c] == 1
+        # NOTE: complement cases do NOT generally share triangle counts
+        # here — the sign-consistent ambiguity rule (isolate inside-corner
+        # runs) resolves a diagonal face differently from its complement.
+        # That asymmetry is what makes neighboring cubes agree (the classic
+        # complement-symmetric Lorensen table produces holes instead).
+
+    def test_table_variant_watertight_bitwise(self):
+        """Table MC meshes are closed: every edge shared by exactly two
+        triangles, with bitwise-identical shared vertices (canonicalized
+        edge interpolation)."""
+        grid, _vox = self._sphere_grid()
+        tris = marching_cubes(grid, variant="table")
+        q = np.round(tris.reshape(-1, 3) / 1e-7).astype(np.int64)
+        _, inv = np.unique(q, axis=0, return_inverse=True)
+        f = inv.reshape(-1, 3)
+        E = np.sort(
+            np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+        )
+        _, cnt = np.unique(E, axis=0, return_counts=True)
+        assert (cnt == 2).all(), int((cnt != 2).sum())
+
+    def test_table_vs_tetra_accuracy_and_count(self):
+        """Table variant: >=2x fewer triangles at equal-or-better accuracy
+        (the VERDICT r2 acceptance bar)."""
+        grid, vox = self._sphere_grid()
+        t_table = marching_cubes(grid, variant="table")
+        t_tetra = marching_cubes(grid, variant="tetra")
+        assert len(t_table) * 2 <= len(t_tetra)
+        for tris in (t_table, t_tetra):
+            r = np.linalg.norm(tris.reshape(-1, 3), axis=-1)
+            assert np.abs(r - 0.1).max() < 0.35 * vox
+        err_table = np.abs(
+            np.linalg.norm(t_table.reshape(-1, 3), axis=-1) - 0.1
+        ).mean()
+        err_tetra = np.abs(
+            np.linalg.norm(t_tetra.reshape(-1, 3), axis=-1) - 0.1
+        ).mean()
+        assert err_table <= err_tetra * 1.05
+
 
 class TestBrickEngine:
     """Brick-sparse pallas engine (interpret mode on CPU) vs dense XLA."""
