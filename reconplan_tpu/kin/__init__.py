@@ -12,7 +12,14 @@ solves run per dispatch on the MXU).
 from reconplan_tpu.kin.rob_parser import RobModel, parse_rob
 from reconplan_tpu.kin.chain import KinematicModel, fk_all, fk_link, geometric_jacobian
 from reconplan_tpu.kin.ik import IKResult, dls_ik, dls_ik_batch
-from reconplan_tpu.kin.collision import Capsule, fit_capsule_off, capsule_group_collision
+from reconplan_tpu.kin.collision import (
+    Capsule,
+    fit_capsule_off,
+    capsule_group_collision,
+    fit_spheres_off,
+    sphere_group_clearance,
+    sphere_group_collision,
+)
 from reconplan_tpu.kin.robot import Robot, UR10, Kinova, KinematicChain, Planar, make_robot
 
 __all__ = [
@@ -28,6 +35,9 @@ __all__ = [
     "Capsule",
     "fit_capsule_off",
     "capsule_group_collision",
+    "fit_spheres_off",
+    "sphere_group_clearance",
+    "sphere_group_collision",
     "Robot",
     "UR10",
     "Kinova",

@@ -125,3 +125,106 @@ def transform_capsules(R, t, caps_a, caps_b):
     a_w = jax.vmap(mm)(R, caps_a) + t
     b_w = jax.vmap(mm)(R, caps_b) + t
     return jnp.stack([a_w, b_w], axis=1)  # (N, 2, 3)
+
+# ----------------------------------------------------------------------
+# sphere-cloud collision (tight over-approximation)
+# ----------------------------------------------------------------------
+#
+# Single capsules over-approximate long link meshes so coarsely that the
+# scan-arc workload rejects configurations whose true mesh clearance is
+# >6 cm (measured: forearm<->gripper pair fires at capsule distance
+# 0.095 m when the meshes are 0.063 m apart). The reference checks exact
+# mesh pairs (collide.group_collision_iter, grr/robot.py:476-479); the
+# TPU-native equivalent with the same no-false-NEGATIVE guarantee is a
+# k-means sphere cloud per link: every mesh vertex lies inside its
+# cluster's sphere, so the union of spheres contains the mesh surface and
+# a sum-of-radii test can only err on the conservative side — by the
+# cluster radius margin (~1-2 cm at 24 spheres/link) instead of the
+# whole-link capsule radius (~10 cm). The check itself is a dense
+# (La*S, Lb*S) distance matrix: branch-free, vmappable, MXU-friendly.
+
+# radius marking an inert (padding / empty-cluster) sphere; large enough
+# negative that d - r_i - r_j can never go below any sane threshold
+PAD_RADIUS = -1e6
+
+
+def fit_spheres_off(
+    vertices: np.ndarray, n_spheres: int = 24, n_iters: int = 12
+):
+    """Fit a covering sphere cloud to mesh vertices.
+
+    Deterministic farthest-point initialisation + Lloyd iterations;
+    each sphere's radius is the max distance of its cluster's vertices
+    (cover guarantee). Returns (centers (S, 3), radii (S,)) float32; S
+    may be < ``n_spheres`` for tiny meshes.
+    """
+    v = np.asarray(vertices, dtype=np.float64)
+    n = min(n_spheres, len(v))
+    # farthest-point seeding from the centroid-nearest vertex
+    c0 = np.argmin(np.linalg.norm(v - v.mean(axis=0), axis=1))
+    centers_idx = [c0]
+    d = np.linalg.norm(v - v[c0], axis=1)
+    for _ in range(1, n):
+        nxt = int(np.argmax(d))
+        centers_idx.append(nxt)
+        d = np.minimum(d, np.linalg.norm(v - v[nxt], axis=1))
+    centers = v[centers_idx]
+    for _ in range(n_iters):
+        d2 = ((v[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(d2, axis=1)
+        for k in range(n):
+            m = assign == k
+            if m.any():
+                centers[k] = v[m].mean(axis=0)
+    d2 = ((v[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    assign = np.argmin(d2, axis=1)
+    # empty clusters (stale Lloyd centers) are marked inert so they can
+    # never fire a collision test
+    radii = np.full(n, PAD_RADIUS)
+    for k in range(n):
+        m = assign == k
+        if m.any():
+            radii[k] = np.sqrt(d2[m, k].max())
+    return centers.astype(np.float32), radii.astype(np.float32)
+
+
+def transform_spheres(R, t, centers):
+    """(L, 3, 3), (L, 3), (L, S, 3) local centers -> (L, S, 3) world."""
+    mm = lambda rot, c: jnp.matmul(
+        c, rot.T, precision=jax.lax.Precision.HIGHEST
+    )
+    return jax.vmap(mm)(R, centers) + t[:, None, :]
+
+
+def sphere_group_clearance(centers_a, radii_a, centers_b, radii_b):
+    """Per-link-pair signed clearance between two sphere-cloud groups.
+
+    ``centers_*``: (L, S, 3) world-frame; ``radii_*``: (L, S). Returns
+    (La, Lb) of ``min over sphere pairs of (|c_i - c_j| - r_i - r_j)``;
+    negative means the clouds of that link pair overlap. Inert spheres
+    (radius == PAD_RADIUS) yield huge clearances and never dominate the
+    min.
+    """
+    d2 = ((centers_a[:, :, None, None, :] - centers_b[None, None, :, :, :])
+          ** 2).sum(-1)  # (La, S, Lb, S)
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    clr = d - radii_a[:, :, None, None] - radii_b[None, None, :, :]
+    return jnp.min(clr, axis=(1, 3))  # (La, Lb)
+
+
+def sphere_group_collision(
+    centers_a, radii_a, centers_b, radii_b, thresholds=None
+):
+    """True if any link of group A collides with any link of group B.
+
+    Collision for a link pair = signed clearance below its threshold
+    (default 0: actual sphere-cloud overlap). ``thresholds`` (La, Lb) is
+    the sphere analogue of a MoveIt allowed-collision matrix: pairs that
+    are adjacent at the home configuration get a slightly-below-home
+    threshold so the permanently-close wrist <-> gripper-base pair does
+    not fire (see ``Robot._calibrate_collision_thresholds``).
+    """
+    clr = sphere_group_clearance(centers_a, radii_a, centers_b, radii_b)
+    if thresholds is None:
+        thresholds = jnp.zeros_like(clr)
+    return jnp.any(clr < thresholds)

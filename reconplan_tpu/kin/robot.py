@@ -133,20 +133,28 @@ class Robot:
         self._active_idx = jnp.asarray(self.active_joints, dtype=jnp.int32)
         self._q_rest = jnp.zeros(self.rob.num_links, dtype=jnp.float32)
 
-        self._capsules = self._load_capsules()
+        self._spheres = self._load_spheres()
         self._rng = np.random.default_rng(0)
 
     # ------------------------------------------------------------------
     # geometry setup
     # ------------------------------------------------------------------
-    def _load_capsules(self):
-        """Fit collision capsules for the reference's self/ee geometry
-        groups. Returns None when the robot declares no collision groups."""
+    def _load_spheres(self, n_spheres: int = 32):
+        """Fit covering sphere clouds for the reference's self/ee geometry
+        groups. Returns None when the robot declares no collision groups.
+
+        Replaces the round-2 single-capsule fit: capsules over-approximated
+        long links so coarsely that wrist-folded camera poses with ~6 cm of
+        true mesh clearance were rejected (measured on the ur10 scan-arc
+        workload), which is what forced 147/498 waypoints onto the IK
+        fallback. A 32-sphere k-means cloud per link covers every mesh
+        vertex (no false negatives) with ~1 cm local slack.
+        """
         if not self.SELF_GEOMETRY_LINKS or not self.EE_GEOMETRY_LINKS:
             return None
 
         def group(links):
-            idx, a, b, r = [], [], [], []
+            idx, cs, rs = [], [], []
             for ln in links:
                 li = ln if isinstance(ln, int) else self.rob.link_index(ln)
                 geom = self.rob.geometry[li]
@@ -155,48 +163,53 @@ class Robot:
                 path = os.path.join(self.rob.source_dir, geom)
                 if not os.path.exists(path):
                     continue
-                cap = coll.fit_capsule_off(load_off_vertices(path))
+                c, r = coll.fit_spheres_off(
+                    load_off_vertices(path), n_spheres=n_spheres
+                )
+                # pad to the common S so groups stack into one array
+                pad = n_spheres - len(r)
+                if pad:
+                    c = np.concatenate([c, np.zeros((pad, 3), np.float32)])
+                    r = np.concatenate(
+                        [r, np.full(pad, coll.PAD_RADIUS, np.float32)]
+                    )
                 idx.append(li)
-                a.append(cap.a)
-                b.append(cap.b)
-                r.append(cap.r)
+                cs.append(c)
+                rs.append(r)
             if not idx:
                 return None
             return (
                 jnp.asarray(idx, dtype=jnp.int32),
-                jnp.stack(a),
-                jnp.stack(b),
-                jnp.stack(r),
+                jnp.asarray(np.stack(cs)),
+                jnp.asarray(np.stack(rs)),
             )
 
         g_self = group(self.SELF_GEOMETRY_LINKS)
         g_ee = group(self.EE_GEOMETRY_LINKS)
         if g_self is None or g_ee is None:
             return None
-        caps = {"self": g_self, "ee": g_ee}
-        caps["thresholds"] = self._calibrate_collision_thresholds(caps)
-        return caps
+        sph = {"self": g_self, "ee": g_ee}
+        sph["thresholds"] = self._calibrate_collision_thresholds(sph)
+        return sph
 
-    def _calibrate_collision_thresholds(self, caps):
-        """Per-pair collision distances, calibrated at the home config.
+    def _calibrate_collision_thresholds(self, sph):
+        """Per-link-pair clearance thresholds, calibrated at home.
 
-        Capsules over-approximate the link meshes, so pairs that are close
-        in *every* configuration (wrist <-> gripper base, which only rotate
-        relative to each other) would always "collide" with raw r_i + r_j
-        thresholds. Calibration caps each pair's threshold at slightly below
-        its home-configuration clearance — the capsule analogue of MoveIt's
-        allowed-collision matrix, computed automatically instead of
-        hand-listed like the reference's `noselfcollision` .rob entries.
-        """
-        gs, ge = caps["self"], caps["ee"]
+        A pair collides when its sphere-cloud signed clearance drops below
+        its threshold. The default is 0 (actual cloud overlap); pairs that
+        are already adjacent at the home configuration (wrist <-> gripper
+        base, which stay close in every configuration) get a
+        slightly-below-home threshold instead — the sphere analogue of
+        MoveIt's allowed-collision matrix, computed automatically instead
+        of hand-listed like the reference's `noselfcollision` .rob
+        entries (ur10.rob)."""
+        gs, ge = sph["self"], sph["ee"]
         q_home = jnp.zeros(self.rob.num_links, dtype=jnp.float32)
         R, t = fk_all(self.model, q_home)
-        segs_a = coll.transform_capsules(R[gs[0]], t[gs[0]], gs[1], gs[2])
-        segs_b = coll.transform_capsules(R[ge[0]], t[ge[0]], ge[1], ge[2])
-        d_home = coll.pairwise_segment_distances(segs_a, segs_b)
-        raw = gs[3][:, None] + ge[3][None, :]
-        clearance = 0.8  # keep 80% of the home clearance as free space
-        return jnp.minimum(raw, d_home * clearance)
+        ca = coll.transform_spheres(R[gs[0]], t[gs[0]], gs[1])
+        cb = coll.transform_spheres(R[ge[0]], t[ge[0]], ge[1])
+        clr_home = coll.sphere_group_clearance(ca, gs[2], cb, ge[2])
+        return jnp.minimum(0.0, clr_home - 0.005)
 
     # ------------------------------------------------------------------
     # workspace ops (grr/robot.py:93-163)
@@ -405,13 +418,13 @@ class Robot:
             # (grr/robot.py:455-461)
             zs = t[jnp.asarray(self.active_joints)][:, 2]
             ok = jnp.logical_and(ok, jnp.all(zs > 0.0))
-        if self._capsules is not None:
-            gs = self._capsules["self"]
-            ge = self._capsules["ee"]
-            segs_a = coll.transform_capsules(R[gs[0]], t[gs[0]], gs[1], gs[2])
-            segs_b = coll.transform_capsules(R[ge[0]], t[ge[0]], ge[1], ge[2])
-            hit = coll.capsule_group_collision(
-                segs_a, gs[3], segs_b, ge[3], self._capsules["thresholds"]
+        if self._spheres is not None:
+            gs = self._spheres["self"]
+            ge = self._spheres["ee"]
+            ca = coll.transform_spheres(R[gs[0]], t[gs[0]], gs[1])
+            cb = coll.transform_spheres(R[ge[0]], t[ge[0]], ge[1])
+            hit = coll.sphere_group_collision(
+                ca, gs[2], cb, ge[2], self._spheres["thresholds"]
             )
             ok = jnp.logical_and(ok, jnp.logical_not(hit))
         return ok
@@ -423,18 +436,18 @@ class Robot:
     def _self_collision_device(self, config):
         full = self._q_rest.at[self._active_idx].set(config)
         R, t = fk_all(self.model, full)
-        gs, ge = self._capsules["self"], self._capsules["ee"]
-        segs_a = coll.transform_capsules(R[gs[0]], t[gs[0]], gs[1], gs[2])
-        segs_b = coll.transform_capsules(R[ge[0]], t[ge[0]], ge[1], ge[2])
-        return coll.capsule_group_collision(
-            segs_a, gs[3], segs_b, ge[3], self._capsules["thresholds"]
+        gs, ge = self._spheres["self"], self._spheres["ee"]
+        ca = coll.transform_spheres(R[gs[0]], t[gs[0]], gs[1])
+        cb = coll.transform_spheres(R[ge[0]], t[ge[0]], ge[1])
+        return coll.sphere_group_collision(
+            ca, gs[2], cb, ge[2], self._spheres["thresholds"]
         )
 
     def check_self_collision_batch(self, qs):
         """(B, A) -> (B,) bool; the batched validity-scan primitive of the
         teleop benchmark (``experiment/utils.py:48-60`` loops this check
         per interpolated config)."""
-        if self._capsules is None:
+        if self._spheres is None:
             return np.zeros(len(qs), dtype=bool)
         return np.asarray(
             jax.vmap(self._self_collision_device)(
@@ -445,7 +458,7 @@ class Robot:
     def check_self_collision(self, q):
         """True when the arm links collide with the end-effector group
         (grr/robot.py:381-392)."""
-        if self._capsules is None:
+        if self._spheres is None:
             return False
         return bool(
             self._self_collision_device(jnp.asarray(q, dtype=jnp.float32))

@@ -219,10 +219,26 @@ class TestValidity:
             ok = np.asarray(ur10._validate_batch(jnp.asarray(q_down)[None]))[0]
             assert not ok
 
-    def test_self_collision_capsules_loaded(self, ur10):
-        assert ur10._capsules is not None
-        assert ur10._capsules["self"][0].shape[0] == 6
-        assert ur10._capsules["ee"][0].shape[0] == 6
+    def test_self_collision_spheres_loaded(self, ur10):
+        assert ur10._spheres is not None
+        assert ur10._spheres["self"][0].shape[0] == 6
+        assert ur10._spheres["ee"][0].shape[0] == 6
+        # covering property: every fitted sphere cloud has >= 1 live sphere
+        assert (np.asarray(ur10._spheres["self"][2]) > 0).any(axis=1).all()
+
+    def test_sphere_cloud_covers_mesh(self, ur10):
+        # every mesh vertex of the forearm link must lie inside (or on)
+        # some sphere of its cloud — the no-false-negative guarantee
+        import os
+        from reconplan_tpu.kin.collision import fit_spheres_off
+        from reconplan_tpu.kin.rob_parser import load_off_vertices
+
+        li = int(ur10._spheres["self"][0][2])
+        path = os.path.join(ur10.rob.source_dir, ur10.rob.geometry[li])
+        v = load_off_vertices(path)
+        c, r = fit_spheres_off(v)
+        d = np.linalg.norm(v[:, None, :] - c[None, :, :], axis=-1)
+        assert (d.min(axis=1) <= r[np.argmin(d, axis=1)] + 1e-5).all()
 
     def test_zero_config_collision_free(self, ur10):
         assert ur10.check_self_collision(np.zeros(6)) in (False,)
