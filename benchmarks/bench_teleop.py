@@ -41,13 +41,23 @@ def main(argv=None):
     ap.add_argument("--graph-dir", default=None,
                     help="load a prebuilt roadmap instead of building")
     ap.add_argument("--no-relaxed", action="store_true")
+    ap.add_argument("--engine", choices=["batch", "host"], default="batch",
+                    help="batch = ticks fused across trajectories "
+                    "(teleop_batch.py); host = reference-shaped per-"
+                    "trajectory loop")
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="cpu = host backend (safe anywhere); tpu = default "
+                    "device — the batch engine amortizes the tunnel RPC "
+                    "across all N trajectories per tick, so the reference "
+                    "100/kind protocol is TPU-practical")
     args = ap.parse_args(argv)
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
 
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if args.platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from reconplan_tpu.apps.redundancy import build_roadmap, discover_seed_configs  # noqa: F401
     from reconplan_tpu.grr import RedundancyResolution
@@ -79,30 +89,72 @@ def main(argv=None):
 
     robot = res.robot
     t0 = time.time()
-    random_res = make_random_resolution(res)
-    print(f"random-GRR roadmap: {time.time()-t0:.1f}s")
+    # the random-GRR ablation graph is deterministic given the roadmap:
+    # cache it beside the graph (the reference ships its prebuilt
+    # experiment/rgrr graph the same way)
+    rgrr_dir = os.path.join(args.graph_dir or "/tmp/bench_teleop_graph",
+                            "rgrr")
+    rgrr_res_npz = os.path.join(rgrr_dir, "resolution.npz")
+    if os.path.exists(rgrr_res_npz):
+        random_res = RedundancyResolution(robot)
+        random_res.workspace = res.workspace
+        from reconplan_tpu.grr.solver import ExpansionSolver
+
+        random_res.solver = ExpansionSolver(random_res.workspace, robot)
+        random_res.load_solver_graph(os.path.join(rgrr_dir, "solver.npz"))
+        random_res.load_resolution_graph(rgrr_res_npz)
+        print(f"random-GRR roadmap: loaded cache ({time.time()-t0:.1f}s)")
+    else:
+        random_res = make_random_resolution(res)
+        os.makedirs(rgrr_dir, exist_ok=True)
+        random_res.save_solver_graph(os.path.join(rgrr_dir, "solver.npz"))
+        random_res.save_resolution_graph(rgrr_res_npz)
+        print(f"random-GRR roadmap: built {time.time()-t0:.1f}s "
+              f"(cached to {rgrr_dir})")
 
     all_results = {}
-    for kind in KINDS:
-        trajs = generate_trajectories(
-            robot, kind=kind, n_trajectories=args.per_kind, seed=7
-        )
+    fallback_stats = {}
+    if args.engine == "batch":
+        # ticks batched ACROSS trajectories: one device dispatch advances
+        # all N rows of a kind one tick (grr/teleop_batch.py) — this is
+        # what makes the reference's 100/kind protocol tractable
+        from reconplan_tpu.grr.teleop_batch import run_reference_benchmark
+
+        by_kind = {
+            kind: generate_trajectories(
+                robot, kind=kind, n_trajectories=args.per_kind, seed=7
+            )
+            for kind in KINDS
+        }
         t0 = time.time()
-        summary = run_teleop_benchmark(
-            res, trajs,
-            include_relaxed=not args.no_relaxed,
+        all_results, fallback_stats = run_reference_benchmark(
+            res, by_kind,
             random_resolution=random_res,
+            include_relaxed=not args.no_relaxed,
+            verbose=True,
         )
-        all_results[kind] = summary
-        print(f"\n== {kind} ({len(trajs)} trajectories, "
-              f"{time.time()-t0:.1f}s) ==")
-        for method, row in summary.items():
-            if row:
-                print(
-                    f"  {method:<11} success {row['success_rate']:.2f}  "
-                    f"DTW {row['mean_dtw']:.3f}  ratio {row['mean_ratio']:.2f}"
-                    f"  (n={row['n']})"
-                )
+        print(f"\nbatched benchmark wall time: {time.time()-t0:.1f}s")
+    else:
+        for kind in KINDS:
+            trajs = generate_trajectories(
+                robot, kind=kind, n_trajectories=args.per_kind, seed=7
+            )
+            t0 = time.time()
+            summary = run_teleop_benchmark(
+                res, trajs,
+                include_relaxed=not args.no_relaxed,
+                random_resolution=random_res,
+            )
+            all_results[kind] = summary
+            print(f"\n== {kind} ({len(trajs)} trajectories, "
+                  f"{time.time()-t0:.1f}s) ==")
+            for method, row in summary.items():
+                if row:
+                    print(
+                        f"  {method:<11} success {row['success_rate']:.2f}  "
+                        f"DTW {row['mean_dtw']:.3f}  ratio {row['mean_ratio']:.2f}"
+                        f"  (n={row['n']})"
+                    )
 
     # aggregate over kinds (methods with no valid rows anywhere -> None,
     # so a fully-failed arm can't ZeroDivisionError the whole run)
@@ -112,23 +164,33 @@ def main(argv=None):
         if not rows:
             agg[method] = None
             continue
+        def _mean(key):
+            xs = [r[key] for r in rows if r.get(key) is not None]
+            return sum(xs) / len(xs) if xs else None
+
         agg[method] = {
             "success_rate": sum(r["success_rate"] for r in rows) / len(rows),
-            "mean_dtw": sum(r["mean_dtw"] for r in rows) / len(rows),
-            "mean_ratio": sum(r["mean_ratio"] for r in rows) / len(rows),
+            "mean_dtw": _mean("mean_dtw"),
+            "mean_ratio": _mean("mean_ratio"),
         }
     print("\n== aggregate ==")
     for method, row in agg.items():
         if row is None:
             print(f"  {method:<11} (no valid rows)")
             continue
+        nan = float("nan")
         print(
             f"  {method:<11} success {row['success_rate']:.2f}  "
-            f"DTW {row['mean_dtw']:.3f}  ratio {row['mean_ratio']:.2f}"
+            f"DTW {row['mean_dtw'] if row['mean_dtw'] is not None else nan:.3f}"
+            f"  ratio "
+            f"{row['mean_ratio'] if row['mean_ratio'] is not None else nan:.2f}"
         )
     out = {"per_kind": all_results, "aggregate": agg,
+           "fallback_stats": fallback_stats,
            "config": {"robot": args.robot, "nodes": args.nodes,
-                      "per_kind": args.per_kind}}
+                      "per_kind": args.per_kind, "engine": args.engine,
+                      "rotation_type": args.rotation_type,
+                      "graph_dir": args.graph_dir}}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)

@@ -1,0 +1,106 @@
+"""Poisson fidelity eval: EXACT analytic residual + banana Chamfer.
+
+Sampled-Chamfer against a finite GT point set has a point-spacing floor
+(~2 mm at 60k samples on the bumpy-sphere fixture) that dominated the
+round-2 "1.94 mm" figure. Against an ANALYTIC surface G(p)=0 the honest
+per-vertex error is |G(v)| / |grad G(v)| — first-order exact and
+sampling-free. This script prints that residual for the three solver
+variants (screened / pure / local-iso; see recon/poisson.py) plus the
+YCB-banana Chamfer, and is the source of the numbers quoted in
+BASELINE.md and the poisson docstrings.
+
+Usage: python benchmarks/eval_poisson_fidelity.py [--depth 128]
+"""
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from reconplan_tpu.io.meshio import load_mesh, sample_mesh_surface
+from reconplan_tpu.recon.metrics import chamfer_to_mesh
+from reconplan_tpu.recon.poisson import poisson_reconstruct
+
+RNG = np.random.default_rng(0)
+R0, A, B = 0.2, 0.05, 0.04
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def f_dir(d):
+    return R0 + A * jnp.sin(5 * d[..., 0]) + B * jnp.cos(7 * d[..., 1])
+
+
+def G(p):
+    nn = jnp.linalg.norm(p, axis=-1)
+    return nn - f_dir(p / nn[..., None])
+
+
+def bumpy_exact(n):
+    d = RNG.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    r = np.asarray(f_dir(jnp.asarray(d)))
+    pts = (d * r[:, None]).astype(np.float32)
+    g = jax.vmap(jax.grad(lambda p: G(p)))(jnp.asarray(pts))
+    nrm = np.asarray(
+        g / jnp.linalg.norm(g, axis=-1, keepdims=True), np.float32
+    )
+    return pts, nrm
+
+
+def run_bumpy(tag, pts, nrm, depth, **kw):
+    t0 = time.time()
+    tris = poisson_reconstruct(pts, nrm, depth=depth, **kw)
+    dt = time.time() - t0
+    verts = jnp.asarray(tris.reshape(-1, 3))
+    res = np.abs(np.asarray(G(verts)))
+    gmag = np.asarray(
+        jnp.linalg.norm(jax.vmap(jax.grad(lambda p: G(p)))(verts), axis=-1)
+    )
+    dist = res / np.maximum(gmag, 1e-6)  # first-order exact distance
+    print(
+        f"{tag:<34} depth={depth} tris={len(tris)} "
+        f"mean={dist.mean()*1000:.3f}mm "
+        f"q95={np.quantile(dist, 0.95)*1000:.3f}mm "
+        f"max={dist.max()*1000:.2f}mm {dt:.1f}s"
+    )
+    return dist.mean()
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--depth", type=int, default=128)
+    args = ap.parse_args()
+
+    pts, nrm = bumpy_exact(60000)
+    run_bumpy("bumpy screened (default)", pts, nrm, args.depth)
+    run_bumpy("bumpy pure", pts, nrm, args.depth, screen=0.0)
+    run_bumpy(
+        "bumpy local_iso", pts, nrm, args.depth, screen=0.0, local_iso=True
+    )
+
+    v, f = load_mesh(
+        os.path.join(REPO, "data/objects/011_banana/poisson/nontextured.ply")
+    )
+    bp, bn = sample_mesh_surface(v, f, 60000, seed=0)
+    bp, bn = bp.astype(np.float32), bn.astype(np.float32)
+    for kw, tag in (
+        ({}, "banana screened (default)"),
+        ({"screen": 0.0, "local_iso": True}, "banana local_iso"),
+    ):
+        t0 = time.time()
+        tris = poisson_reconstruct(bp, bn, depth=args.depth, **kw)
+        dt = time.time() - t0
+        ch, m2g, g2m = chamfer_to_mesh(tris.reshape(-1, 3), v, f)
+        print(
+            f"{tag:<34} depth={args.depth} tris={len(tris)} "
+            f"chamfer={ch*1000:.3f}mm "
+            f"(mesh->gt {m2g*1000:.3f} gt->mesh {g2m*1000:.3f}) {dt:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,8 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True,
             # bucket the batch to a power of two: per-size recompiles of
             # the IK solver cost minutes each on the tunneled runtime
             B = max(8, 1 << int(np.ceil(np.log2(len(bad)))))
+            R = 16  # random restarts per waypoint (reach-boundary poses
+            # are seed-sensitive; one batched dispatch covers them all)
             pts = np.asarray(workspace_path)[
                 np.pad(bad, (0, B - len(bad)), mode="edge")
             ]
@@ -88,14 +90,19 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True,
             # mutating the robot's shared RNG stream (all later
             # robot.sample() callers would otherwise become correlated)
             seeds = np.asarray(
-                robot.sample(B, rng=np.random.default_rng(0)), dtype=np.float32
+                robot.sample(B * R, rng=np.random.default_rng(0)),
+                dtype=np.float32,
             )
-            qf, okf = robot.solve_ik_batch(pts[:, :3], seeds)
-            qf, okf = np.asarray(qf), np.asarray(okf)
+            qf, okf = robot.solve_ik_batch(
+                np.repeat(pts[:, :3], R, axis=0), seeds
+            )
+            qf = np.asarray(qf).reshape(B, R, -1)
+            okf = np.asarray(okf).reshape(B, R)
             n_rescued = 0
             for j, i in enumerate(bad):
-                if okf[j]:
-                    config_path[i] = qf[j]
+                hit = np.flatnonzero(okf[j])
+                if len(hit):
+                    config_path[i] = qf[j, hit[0]]
                     n_rescued += 1
             if n_rescued:
                 print(f"ik fallback rescued {n_rescued}/{len(bad)} waypoints")
@@ -125,6 +132,7 @@ def run_scan(
     grid_dim=256,
     n_roadmap_nodes=500,
     n_arcs=1,
+    rotation_type=None,
     verbose=True,
 ):
     """Closed-loop scan-plan-capture-reconstruct (``main.py`` parity).
@@ -140,7 +148,14 @@ def run_scan(
     from reconplan_tpu.io.config import load_problem
     from reconplan_tpu.kin.robot import make_robot
 
-    opts = load_problem("ur10", "rot_free")
+    if rotation_type is None:
+        # infer the GRR problem from the roadmap path so shipped variants
+        # (rot_free scan arc, rot_fixed, rot_variable_yaw) all Just Work
+        rotation_type = "rot_free"
+        for rt in ("rot_variable_yaw", "rot_fixed"):
+            if roadmap_dir and rt in str(roadmap_dir):
+                rotation_type = rt
+    opts = load_problem("ur10", rotation_type)
     robot = make_robot(opts)
     grr = RedundancyResolution(robot)
     if roadmap_dir and os.path.exists(os.path.join(roadmap_dir, "resolution.npz")):
@@ -177,6 +192,7 @@ def run_scan(
                 height=0.10 if a < 4 else 0.06,
                 num_points=per_arc,
                 azimuth=base_az + np.deg2rad(offsets[a % len(offsets)]),
+                max_horiz=1.03,  # stay inside the UR10 look-at reach
             )
             for a in range(n_arcs)
         ]
@@ -322,6 +338,8 @@ def main(argv=None):
     ap.add_argument("--grid", type=int, default=256)
     ap.add_argument("--arcs", type=int, default=1,
                     help="scan arcs at rotated azimuths (1 = reference demo)")
+    ap.add_argument("--rotation-type", default=None,
+                    help="GRR problem variant (default: infer from roadmap)")
     args = ap.parse_args(argv)
     run_scan(
         roadmap_dir=args.roadmap,
@@ -331,6 +349,7 @@ def main(argv=None):
         reconstruct=args.reconstruct,
         grid_dim=args.grid,
         n_arcs=args.arcs,
+        rotation_type=args.rotation_type,
     )
 
 

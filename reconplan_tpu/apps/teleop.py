@@ -158,14 +158,45 @@ def run_teleop(mode="rtde", hardware=False, ip="192.168.1.102", rate=0.05,
     return ticks
 
 
+def run_html_teleop(roadmap_dir, host="127.0.0.1", port=8008,
+                    rotation_type=None):
+    """Serve the pointer-teleop UI (klampt_vis.py:369-426 twin) over a
+    local HTTP bridge — see :mod:`reconplan_tpu.viz.teleop_server`."""
+    from reconplan_tpu.grr import RedundancyResolution
+    from reconplan_tpu.io.config import load_problem
+    from reconplan_tpu.kin.robot import make_robot
+    from reconplan_tpu.viz.teleop_server import serve_teleop
+
+    if rotation_type is None:
+        rotation_type = "rot_free"
+        for rt in ("rot_variable_yaw", "rot_fixed"):
+            if rt in str(roadmap_dir):
+                rotation_type = rt
+    opts = load_problem("ur10", rotation_type)
+    robot = make_robot(opts)
+    grr = RedundancyResolution(robot)
+    grr.load_workspace_graph(os.path.join(roadmap_dir, "workspace.npz"))
+    grr.load_resolution_graph(os.path.join(roadmap_dir, "resolution.npz"))
+    sv = os.path.join(roadmap_dir, "solver.npz")
+    if os.path.exists(sv):
+        grr.load_solver_graph(sv)
+    return serve_teleop(grr, host=host, port=port)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=["rtde", "grr"], default="rtde")
+    ap.add_argument("--mode", choices=["rtde", "grr", "html"], default="rtde")
     ap.add_argument("--hardware", action="store_true")
     ap.add_argument("--ip", default="192.168.1.102")
     ap.add_argument("--rate", type=float, default=0.05)
     ap.add_argument("--step", type=float, default=0.001)
+    ap.add_argument("--roadmap", default="graph/ur10/rot_variable_yaw",
+                    help="roadmap for --mode html/grr")
+    ap.add_argument("--port", type=int, default=8008)
     args = ap.parse_args(argv)
+    if args.mode == "html":
+        run_html_teleop(args.roadmap, port=args.port)
+        return
     run_teleop(
         mode=args.mode, hardware=args.hardware, ip=args.ip,
         rate=args.rate, step=args.step,

@@ -65,7 +65,7 @@ def get_linear_path(start, goal, path_duration, num_points):
 
 
 def scan_arc(obj_pos, radius=0.3, height=0.15, num_points=500,
-             azimuth=3 * np.pi / 4):
+             azimuth=3 * np.pi / 4, max_horiz=None):
     """The flagship scan arc of ``main.py:68-136``: a tilted half-circle of
     look-at poses over the object. Returns (num_points, 7) poses.
 
@@ -74,12 +74,22 @@ def scan_arc(obj_pos, radius=0.3, height=0.15, num_points=500,
     and two ends; sweeping additional rotated arcs (see
     ``apps/scan.py --arcs``) covers the flanks the reference's one-arc
     demo never sees.
+
+    ``max_horiz``, when set, clamps each eye's horizontal distance from
+    the robot base (origin) by sliding it radially inward — coverage
+    planning that respects the arm's reach envelope: the far side of an
+    arc around an off-center object otherwise sweeps outside the UR10's
+    ~1.1 m comfortable look-at reach and no solver can configure it.
     """
     obj = np.asarray(obj_pos, dtype=np.float64)
     t = np.linspace(0, np.pi, num_points)
     x = obj[0] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.cos(azimuth)
     y = obj[1] - 0.15 * np.cos(np.pi / 4) + radius * np.cos(t) * np.sin(azimuth)
     z = height + obj[2] + radius * np.sin(t)
+    if max_horiz is not None:
+        h = np.hypot(x, y)
+        s = np.minimum(1.0, max_horiz / np.maximum(h, 1e-9))
+        x, y = x * s, y * s
     eyes = np.stack([x, y, z], axis=-1).astype(np.float32)
     quats = np.asarray(
         maths.look_at_quat(

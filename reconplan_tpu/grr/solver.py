@@ -74,15 +74,37 @@ class ExpansionSolver:
     # ------------------------------------------------------------------
     # batched primitives
     # ------------------------------------------------------------------
+    # Max rows per IK dispatch: the batched LM solve materializes a
+    # (B, 6, L, 6, L) jacfwd intermediate; at L=32 links a 128k-row wave
+    # would want ~18 GB of HBM (observed OOM on the multi-seed
+    # projection's biggest frontier). 8192 rows ≈ 1.2 GB.
+    _IK_CHUNK = 8192
+
     def _ik_batch(self, points, seeds, max_iters=100, tolerance=1e-3):
         """(B, 7) points, (B, A) seeds -> (configs, converged, valid).
 
         Batch sizes are padded to the next power of two (min 8): BFS waves
         and bisection levels produce arbitrary sizes, and without bucketing
-        every distinct B would trigger a fresh XLA compilation.
+        every distinct B would trigger a fresh XLA compilation. Batches
+        beyond ``_IK_CHUNK`` run as multiple fixed-size dispatches.
         """
         robot = self.robot
         B = len(points)
+        if B > self._IK_CHUNK:
+            qs, convs, valids = [], [], []
+            for s in range(0, B, self._IK_CHUNK):
+                q, c, v = self._ik_batch(
+                    points[s : s + self._IK_CHUNK],
+                    seeds[s : s + self._IK_CHUNK],
+                    max_iters=max_iters, tolerance=tolerance,
+                )
+                qs.append(q)
+                convs.append(c)
+                valids.append(v)
+            return (
+                np.concatenate(qs), np.concatenate(convs),
+                np.concatenate(valids),
+            )
         padded = max(8, 1 << int(np.ceil(np.log2(max(B, 1)))))
         if padded != B:
             points = np.concatenate(
@@ -152,8 +174,26 @@ class ExpansionSolver:
                 self.robot._cyclic_mask,
             )
         )
-        q, conv, valid = self._ik_batch(pts, seeds)
-        ok = conv & valid & nbr_mask.any(axis=1)
+        # Multi-seed restarts (documented divergence from the reference's
+        # single average-seed projection, solver.py:227-259): near the
+        # reach boundary IK from the averaged config alone strands ~1/3 of
+        # reachable nodes unconfigured; the configured neighbors' own
+        # configs are natural extra basins. Seed order keeps the
+        # reference's preference: the weighted average wins whenever it
+        # converges, neighbor restarts only rescue otherwise.
+        n_restarts = min(3, nbr_mask.shape[1])
+        seed_list = [seeds] + [nbr_cfg[:, r] for r in range(n_restarts)]
+        S = len(seed_list)
+        pts_rep = np.repeat(pts, S, axis=0)
+        seeds_all = np.stack(seed_list, axis=1).reshape(B * S, -1)
+        q_all, conv_all, valid_all = self._ik_batch(pts_rep, seeds_all)
+        ok_all = (conv_all & valid_all).reshape(B, S)
+        q_all = q_all.reshape(B, S, -1)
+        # restart seeds are only meaningful where that neighbor exists
+        ok_all[:, 1:] &= nbr_mask[:, :n_restarts]
+        first = np.argmax(ok_all, axis=1)
+        q = q_all[np.arange(B), first]
+        ok = ok_all.any(axis=1) & nbr_mask.any(axis=1)
         return q, ok
 
     def _k_layer_neighbors(self, i, k):

@@ -52,14 +52,19 @@ def _pow2(n, lo=4):
     return max(lo, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
-def make_tracking_solver(resolution, max_iters=100, tolerance=1e-3):
+def make_tracking_solver(resolution, max_iters=100, tolerance=1e-3, n_seeds=4):
     """Jitted ``(targets (N, D), qs (N, A)) -> (q (N, A), ok (N,))``
     implementing :meth:`RedundancyResolution.solve` tracking mode for N
-    independent trajectories in one dispatch."""
+    independent trajectories in one dispatch.
+
+    Multi-seed divergence as in :meth:`RedundancyResolution.solve_batch`:
+    the ``n_seeds`` joint-closest roadmap configs run as parallel IK
+    restarts and the valid result with minimal joint motion wins."""
     robot = resolution.robot
     road_pts = jnp.asarray(resolution.points)
     road_cfg = jnp.asarray(resolution.configs)
     k = min(resolution.workspace.interpolate_num_neighbors, len(resolution.points))
+    j = max(1, min(n_seeds, k))
 
     @jax.jit
     def solve_many(targets, qs):
@@ -74,17 +79,25 @@ def make_tracking_solver(resolution, max_iters=100, tolerance=1e-3):
         _, idx = jax.lax.top_k(-d, k)  # (N, k)
         cfgs = road_cfg[idx]  # (N, k, A)
         jd = robot.distance_batch(qs[:, None, :], cfgs)  # (N, k)
-        seeds = jnp.take_along_axis(
-            cfgs, jnp.argmin(jd, axis=1)[:, None, None], axis=1
-        )[:, 0]
+        _, sidx = jax.lax.top_k(-jd, j)  # (N, j)
+        seeds = jnp.take_along_axis(cfgs, sidx[:, :, None], axis=1)  # (N, j, A)
+        N, A = qs.shape
         res = dls_ik_batch(
             robot.model, robot._active_tuple, robot.ee_link,
-            pos, rotm, seeds, robot._q_rest,
+            jnp.repeat(pos, j, axis=0),
+            jnp.repeat(rotm, j, axis=0),
+            seeds.reshape(N * j, A), robot._q_rest,
             max_iters=max_iters, tolerance=tolerance, use_rotation=use_rot,
         )
         q = jnp.where(robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config)
         valid = robot._validate_batch(q)
-        return q, jnp.logical_and(res.success, valid)
+        okj = jnp.logical_and(res.success, valid).reshape(N, j)
+        q = q.reshape(N, j, A)
+        dq = jnp.where(okj, robot.distance_batch(qs[:, None, :], q), jnp.inf)
+        best = jnp.argmin(dq, axis=1)
+        q = jnp.take_along_axis(q, best[:, None, None], axis=1)[:, 0]
+        ok = jnp.take_along_axis(okj, best[:, None], axis=1)[:, 0]
+        return q, ok
 
     return solve_many
 
@@ -136,16 +149,28 @@ def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
             )
         qs32 = jnp.asarray(qs, dtype=jnp.float32)
 
-        # tracking solve (resolution.py:299-330)
+        # tracking solve (resolution.py:299-330), multi-seed restarts as
+        # in RedundancyResolution.solve_batch
         qpts = pts[:, :3] if road_pts.shape[1] == 3 else pts
         d = se3_pairwise(qpts, road_pts)
         _, idx = jax.lax.top_k(-d, k)
         cfgs = road_cfg[idx]
         jd = robot.distance_batch(qs32[:, None, :], cfgs)
-        seeds = jnp.take_along_axis(
-            cfgs, jnp.argmin(jd, axis=1)[:, None, None], axis=1
-        )[:, 0]
-        q_t, ok = _ik(pts, seeds)
+        j = max(1, min(4, k))
+        _, sidx = jax.lax.top_k(-jd, j)
+        seeds = jnp.take_along_axis(cfgs, sidx[:, :, None], axis=1)
+        Nr, A_ = qs32.shape
+        q_j, ok_j = _ik(
+            jnp.repeat(pts, j, axis=0), seeds.reshape(Nr * j, A_)
+        )
+        q_j = q_j.reshape(Nr, j, A_)
+        ok_j = ok_j.reshape(Nr, j)
+        dq_j = jnp.where(
+            ok_j, robot.distance_batch(qs32[:, None, :], q_j), jnp.inf
+        )
+        best = jnp.argmin(dq_j, axis=1)
+        q_t = jnp.take_along_axis(q_j, best[:, None, None], axis=1)[:, 0]
+        ok = jnp.take_along_axis(ok_j, best[:, None], axis=1)[:, 0]
 
         # current workspace points
         ee = robot.fk_point_batch(qs32)  # (N, 7)

@@ -46,11 +46,14 @@ def camera_look_at(eye, target, up=(0.0, 0.0, 1.0)):
     return T.astype(np.float32)
 
 
-# Pinned to the CPU backend: the z-buffer is scatter-min/scatter-add
+# Runs on the CPU backend: the z-buffer is scatter-min/scatter-add
 # shaped, and XLA serializes scatters on TPU the same way it does gathers
 # (measured ~8 s/frame on the chip vs ~0.1 s on host CPU). The simulated
 # camera is host-side hardware anyway — the real path is a RealSense.
-@partial(jax.jit, static_argnames=("height", "width"), backend="cpu")
+# CPU placement comes from the caller committing every array argument to
+# the CPU device (jit follows committed inputs; the deprecated
+# ``backend=`` kwarg warned under jax 0.8).
+@partial(jax.jit, static_argnames=("height", "width"))
 def splat_depth_color(
     points,  # (N, 3) world
     colors,  # (N, 3) [0, 1]
@@ -145,16 +148,16 @@ class SplatCamera:
         # scene splats live on the CPU device (matching the cpu-pinned
         # renderer); staging them per call onto the default (tunneled TPU)
         # device cost an 18 MB round trip per frame
+        cpu = jax.local_devices(backend="cpu")[0]
         if getattr(self, "_points_dev", None) is None or (
             self._points_dev.shape[0] != self._points.shape[0]
         ):
-            cpu = jax.local_devices(backend="cpu")[0]
             self._points_dev = jax.device_put(self._points, cpu)
             self._colors_dev = jax.device_put(self._colors, cpu)
         depth, color = splat_depth_color(
             self._points_dev,
             self._colors_dev,
-            jnp.asarray(T_w2c),
+            jax.device_put(T_w2c, cpu),
             self.fx, self.fy, self.cx, self.cy,
             self.height, self.width,
         )

@@ -91,7 +91,13 @@ def _poisson_indicator(points, normals, origin, voxel, depth: int,
     ``screen`` > 0 adds a uniform Tikhonov/screening term: chi_hat =
     div_hat / (-(k2 + screen/extent^2)), damping the weakly-constrained
     low-frequency modes of the pure Poisson solve (screened-Poisson's
-    interpolation term restricted to its spectral diagonal).
+    interpolation term restricted to its spectral diagonal). The uniform
+    term attenuates every mode by k2/(k2+alpha); at the default
+    screen=4.0 the measured exact-residual cost of that attenuation on
+    the bumpy-sphere fixture is < 0.1 mm while it removes the multi-mm
+    low-frequency drift of the pure solve — see the round-3
+    measurements in BASELINE.md (screened 0.40 mm mean vs pure 0.75 mm
+    vs local-iso 0.48 mm).
 
     Returns (chi (D, D, D), iso scalar).
     """
@@ -133,8 +139,49 @@ def _poisson_indicator(points, normals, origin, voxel, depth: int,
     return chi, iso
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def _sample_iso_field(chi, idx_f, depth: int, iso_sigma_frac=0.08):
+    """Spatially-varying iso-level: the smooth field of per-sample chi.
+
+    The pure (screen=0) Poisson solve leaves its low-frequency modes
+    weakly constrained — chi's "surface value" drifts slowly across the
+    domain (the pre-round-2 ~7 mm bias class). Screened Poisson's cure is
+    a data-fidelity term pinning chi at the samples; its uniform-spectral
+    approximation deforms the shape (see :func:`_poisson_indicator`).
+    Here the pinning happens OUTSIDE the solve: gather chi at every
+    sample, splat those values (density-weighted) onto the grid, smooth
+    both with a wide Gaussian whose width is a fraction of the DOMAIN
+    (depth-independent physics), and divide — a smoothly-extrapolated
+    local iso-level b(x). The final field chi - b(x) is zero exactly
+    where the surface should pass and the shape spectrum is untouched.
+
+    Measured (round 3, exact analytic residual on the bumpy sphere):
+    local-iso 0.475 mm mean vs screened 0.402 mm, banana Chamfer a tie
+    (0.448 vs 0.453 mm) at ~7x the FFT cost — so screening stays the
+    default and this remains an opt-in for screening-sensitive shapes.
+    """
+    D = depth
+    chi_s = _trilinear_gather(chi, idx_f)  # (N,)
+    num = _trilinear_splat((D, D, D), idx_f, chi_s[:, None])[..., 0]
+    den = _trilinear_splat(
+        (D, D, D), idx_f, jnp.ones((idx_f.shape[0], 1), chi.dtype)
+    )[..., 0]
+    k1 = jnp.fft.fftfreq(D) * 2.0 * jnp.pi  # per-voxel units
+    k2 = (
+        k1[:, None, None] ** 2 + k1[None, :, None] ** 2
+        + k1[None, None, :] ** 2
+    )
+    g = jnp.exp(-0.5 * (iso_sigma_frac * D) ** 2 * k2)
+    num_s = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(num) * g))
+    den_s = jnp.real(jnp.fft.ifftn(jnp.fft.fftn(den) * g))
+    global_iso = jnp.sum(chi_s) / idx_f.shape[0]
+    # far from any sample the ratio degrades to the global iso
+    eps = 1e-3 * jnp.max(jnp.abs(den_s))
+    return (num_s + eps * global_iso) / (den_s + eps)
+
+
 def poisson_reconstruct(points, normals, depth=128, padding=0.2,
-                        return_grid=False, screen=4.0):
+                        return_grid=False, screen=4.0, local_iso=False):
     """Reconstruct a triangle mesh from an oriented point cloud.
 
     Args:
@@ -144,9 +191,14 @@ def poisson_reconstruct(points, normals, depth=128, padding=0.2,
         padding: bounding-box padding fraction (pushes the periodic wrap
             of the spectral solve away from the surface).
         return_grid: also return the (TSDFGrid-shaped) chi field.
-        screen: screening strength (0 = classic Poisson); damps the
-            weakly-constrained low-frequency modes (units of inverse
-            squared box extents).
+        screen: uniform spectral screening strength (0 = classic Poisson);
+            damps the weakly-constrained low-frequency modes (units of
+            inverse squared box extents).
+        local_iso: subtract the spatially-varying sample-iso field
+            (:func:`_sample_iso_field`) instead of one global iso level —
+            an alternative low-frequency fix that leaves the shape
+            spectrum untouched (slower; see the measured comparison in
+            that function's docstring).
 
     Returns triangles (T, 3, 3) world-space (and the grid if requested).
     """
@@ -171,6 +223,9 @@ def poisson_reconstruct(points, normals, depth=128, padding=0.2,
     # smoothed indicator satisfies grad chi = -n*delta, so solving
     # lap chi = div V (V = n*delta) yields chi LOWER inside.  marching
     # expects sdf < 0 inside, so (chi - iso) is already correctly signed.
+    if local_iso:
+        idx_f = (jnp.asarray(points) - jnp.asarray(origin)) / jnp.float32(voxel)
+        iso = _sample_iso_field(chi, idx_f, depth)
     field = (chi - iso).astype(jnp.float32)
     grid = TSDFGrid(
         sdf=field,

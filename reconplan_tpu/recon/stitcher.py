@@ -239,8 +239,16 @@ class RGBDStitcher:
             use_pose = poses is not None
 
             def step(carry, inp):
-                model, overflow, i = carry
+                model, overflow, i, T_prev = carry
                 depth_i, color_i, init = inp
+                if not use_pose:
+                    # pose-free capture: seed registration from the
+                    # PREVIOUS frame's solved camera transform (sequential
+                    # odometry chaining). Identity seeds only work for the
+                    # first few frames of an orbit — once the camera has
+                    # moved beyond ICP's capture basin every later frame
+                    # would fail to lock onto the model.
+                    init = T_prev
                 current_full = self.create_point_cloud_from_rgbd(
                     color_i if has_col else None, depth_i
                 )
@@ -286,7 +294,7 @@ class RGBDStitcher:
                     lambda m: m,
                     model,
                 )
-                return (model, overflow, i + 1), fit
+                return (model, overflow, i + 1, T), fit
 
             # dispatch in blocks: one lax.scan per <= frames_per_block
             # frames (compile reused across equal-length blocks). The
@@ -295,7 +303,8 @@ class RGBDStitcher:
             # bounded at ~2 host round trips per block.
             fpb = int(getattr(self, "frames_per_block", 8))
             scan_fn = jax.jit(partial(jax.lax.scan, step))
-            carry = (combined, overflow, jnp.int32(1))
+            carry = (combined, overflow, jnp.int32(1),
+                     jnp.eye(4, dtype=jnp.float32))
             fits = []
             for b0 in range(0, F - 1, fpb):
                 b1 = min(b0 + fpb, F - 1)
@@ -303,7 +312,7 @@ class RGBDStitcher:
                     carry, (depths[b0:b1], cols[b0:b1], pose_seq[b0:b1])
                 )
                 fits.append(f_block)
-            combined, overflow, _ = carry
+            combined, overflow, _, _ = carry
 
         overflow = int(overflow)
         if overflow > 0:
