@@ -77,18 +77,32 @@ def main():
     # REPS batches amortize per fence: a single 32-frame batch now runs at
     # the ~30 ms scale of the RPC readback itself, so per-batch fencing
     # would measure tunnel noise (+-8%), not the kernel.
+    from reconplan_tpu.utils.profiling import maybe_trace
+
     REPS = 5
     times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            grid, n_active = tb.integrate_frames_bricked_device(
-                grid, depths_d, poses_d, fx, fy, cx, cy, max_active=8192
-            )
-        _ = float(fence(grid.weight))  # completion fence
-        times.append((time.perf_counter() - t0 - rpc) / REPS)
+    with maybe_trace():  # RECONPLAN_TRACE_DIR=<dir> captures an XLA trace
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                grid, n_active = tb.integrate_frames_bricked_device(
+                    grid, depths_d, poses_d, fx, fy, cx, cy, max_active=8192
+                )
+            _ = float(fence(grid.weight))  # completion fence
+            times.append((time.perf_counter() - t0 - rpc) / REPS)
     dt = max(min(times), 1e-9)
     fps = F / dt
+
+    # cold-grid honesty number: ONE batch into a FRESH grid, single fence
+    # (includes the per-call fence/RPC cost the amortized number factors
+    # out — the floor a one-shot 32-frame capture would see)
+    cold_grid = tb.make_brick_grid((N, N, N), (-0.4, -0.4, -0.3), 0.8 / (N - 1))
+    t0 = time.perf_counter()
+    cold_grid, _ = tb.integrate_frames_bricked_device(
+        cold_grid, depths_d, poses_d, fx, fy, cx, cy, max_active=8192
+    )
+    _ = float(fence(cold_grid.weight))
+    cold_fps = F / max(time.perf_counter() - t0 - rpc, 1e-9)
 
     print(
         json.dumps(
@@ -97,6 +111,7 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 1000.0, 3),
+                "cold_grid_fps": round(cold_fps, 1),
             }
         )
     )

@@ -147,6 +147,9 @@ def run_scan(
     from reconplan_tpu.grr import RedundancyResolution
     from reconplan_tpu.io.config import load_problem
     from reconplan_tpu.kin.robot import make_robot
+    from reconplan_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
 
     if rotation_type is None:
         # infer the GRR problem from the roadmap path so shipped variants
@@ -205,8 +208,9 @@ def run_scan(
     track = []
     t0 = time.time()
     config_path = []
-    for a in arcs:
-        config_path.extend(grr_plan(grr, a, track))
+    with timer.stage("plan"):
+        for a in arcs:
+            config_path.extend(grr_plan(grr, a, track))
     if verbose:
         ok = sum(1 for q in config_path if q is not None)
         print(f"grr_plan: {ok}/{len(arc)} waypoints solved in {time.time()-t0:.1f}s")
@@ -249,11 +253,12 @@ def run_scan(
     )
     pick = np.linspace(0, len(qs) - 1, n_images).astype(int)
     depths, colors, poses = [], [], []
-    for i in pick:
-        d, c, T = cam.take_picture(cam_positions[i], OBJECT_POINT)
-        depths.append(d)
-        colors.append(c)
-        poses.append(T)
+    with timer.stage("capture"):
+        for i in pick:
+            d, c, T = cam.take_picture(cam_positions[i], OBJECT_POINT)
+            depths.append(d)
+            colors.append(c)
+            poses.append(T)
     frames = FrameSet(
         depth=np.stack(depths),
         color=np.stack(colors),
@@ -278,8 +283,9 @@ def run_scan(
             voxel_size=0.3 / (grid_dim - 1),
             with_color=True,
         )
-        pipe.integrate(frames)
-        mesh, mesh_colors = pipe.extract_mesh(with_colors=True)
+        with timer.stage("fuse"):
+            pipe.integrate(frames)
+            mesh, mesh_colors = pipe.extract_mesh(with_colors=True)
         if verbose:
             print(f"TSDF fusion + MC: {time.time()-t0:.1f}s, {len(mesh)} triangles")
         save_ply(
@@ -310,9 +316,10 @@ def run_scan(
         # kNN / ICP-correspondence stage is O(cap^2), so the 32k default
         # would spend 95% of its FLOPs on empty slots
         stitcher.model_capacity = 8192
-        cloud = stitcher.stitch_sequence(
-            list(frames.color), list(frames.depth), poses=frames.poses
-        )
+        with timer.stage("stitch"):
+            cloud = stitcher.stitch_sequence(
+                list(frames.color), list(frames.depth), poses=frames.poses
+            )
         pts, cols, _ = cloud.compact()
         if verbose:
             print(f"ICP stitch: {time.time()-t0:.1f}s, {len(pts)} points")
@@ -324,6 +331,9 @@ def run_scan(
             if verbose:
                 print(f"stitched cloud Chamfer vs GT: {ch*1000:.3f} mm")
 
+    results["stage_timings"] = timer.as_dict()
+    if verbose:
+        print(timer.report())
     return results
 
 
@@ -340,17 +350,23 @@ def main(argv=None):
                     help="scan arcs at rotated azimuths (1 = reference demo)")
     ap.add_argument("--rotation-type", default=None,
                     help="GRR problem variant (default: infer from roadmap)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace to DIR "
+                    "(view with tensorboard --logdir DIR)")
     args = ap.parse_args(argv)
-    run_scan(
-        roadmap_dir=args.roadmap,
-        n_waypoints=args.waypoints,
-        n_images=args.images,
-        out_dir=args.out,
-        reconstruct=args.reconstruct,
-        grid_dim=args.grid,
-        n_arcs=args.arcs,
-        rotation_type=args.rotation_type,
-    )
+    from reconplan_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile):
+        run_scan(
+            roadmap_dir=args.roadmap,
+            n_waypoints=args.waypoints,
+            n_images=args.images,
+            out_dir=args.out,
+            reconstruct=args.reconstruct,
+            grid_dim=args.grid,
+            n_arcs=args.arcs,
+            rotation_type=args.rotation_type,
+        )
 
 
 if __name__ == "__main__":

@@ -65,10 +65,45 @@ class _RawKeys:
             )
 
 
+def _open_joystick():
+    """First pygame joystick, or a helpful error (pygame is optional —
+    import-guarded exactly like the reference's pynput/X11 deps)."""
+    try:
+        import pygame
+    except ImportError as e:  # pragma: no cover - env without pygame
+        raise RuntimeError(
+            "joystick teleop needs pygame (pip install pygame); "
+            "keyboard teleop works without it"
+        ) from e
+    pygame.init()
+    pygame.joystick.init()
+    if pygame.joystick.get_count() == 0:
+        raise RuntimeError("no joystick found")
+    js = pygame.joystick.Joystick(0)
+    js.init()
+    print(f"Joystick initialized: {js.get_name()}")
+    return js, pygame
+
+
+def joystick_offsets(js):
+    """Reference axis mapping (``teleop_joystick.py:49-55``): stick axes
+    scale the per-tick step — x = -axis1, y = axis0, z = -axis4.
+    Returns [(axis, amount), ...] compatible with the keyboard offsets
+    (amount is fractional where keys are ±1)."""
+    return [
+        (0, -js.get_axis(1)),
+        (1, js.get_axis(0)),
+        (2, -js.get_axis(4)),
+    ]
+
+
 def run_teleop(mode="rtde", hardware=False, ip="192.168.1.102", rate=0.05,
-               step=0.001, max_ticks=None, script=None, verbose=True):
-    """Drive the arm from the keyboard. ``script`` (a string of keys)
-    replaces live input for tests/headless use."""
+               step=0.001, max_ticks=None, script=None, joystick=None,
+               verbose=True):
+    """Drive the arm from the keyboard or a joystick. ``script`` (a
+    string of keys) replaces live input for tests/headless use;
+    ``joystick`` is any object with ``get_axis(i)`` (True opens the
+    first pygame joystick)."""
     from reconplan_tpu.io.config import load_problem
     from reconplan_tpu.kin.robot import make_robot
 
@@ -123,11 +158,18 @@ def run_teleop(mode="rtde", hardware=False, ip="192.168.1.102", rate=0.05,
             pass
 
     if verbose:
-        print("teleop: w/s=+-X a/d=+-Y i/j=+-Z q=quit "
+        src = "joystick" if joystick else "w/s=+-X a/d=+-Y i/j=+-Z q=quit"
+        print(f"teleop: {src} "
               f"(mode={mode}, step={step*1000:.0f} mm, rate={1/rate:.0f} Hz)")
 
+    pygame = None
+    if joystick is True:
+        joystick, pygame = _open_joystick()
     scripted = list(script) if script is not None else None
-    reader = None if scripted is not None else _RawKeys()
+    reader = (
+        None if (scripted is not None or joystick is not None)
+        else _RawKeys()
+    )
     ticks = 0
     try:
         while True:
@@ -135,11 +177,24 @@ def run_teleop(mode="rtde", hardware=False, ip="192.168.1.102", rate=0.05,
                 if not scripted:
                     break
                 keys = [scripted.pop(0)]
+            elif joystick is not None:
+                keys = []
+                if pygame is not None:  # drain the event queue (QUIT etc.)
+                    for ev in pygame.event.get():
+                        if ev.type == pygame.QUIT:
+                            keys = ["q"]
+                            break
             else:
                 keys = reader.pending()
             if "q" in keys:
                 break
-            offsets = [KEYMAP[k] for k in keys if k in KEYMAP]
+            if joystick is not None:
+                offsets = [
+                    (a, v) for a, v in joystick_offsets(joystick)
+                    if abs(v) > 0.05  # stick dead zone
+                ]
+            else:
+                offsets = [KEYMAP[k] for k in keys if k in KEYMAP]
             pos = apply(offsets)
             ticks += 1
             if verbose and (offsets or ticks % 50 == 0):
@@ -193,6 +248,9 @@ def main(argv=None):
     ap.add_argument("--roadmap", default="graph/ur10/rot_variable_yaw",
                     help="roadmap for --mode html/grr")
     ap.add_argument("--port", type=int, default=8008)
+    ap.add_argument("--joystick", action="store_true",
+                    help="read the first pygame joystick instead of the "
+                    "keyboard (teleop_joystick.py rebuild)")
     args = ap.parse_args(argv)
     if args.mode == "html":
         run_html_teleop(args.roadmap, port=args.port)
@@ -200,6 +258,7 @@ def main(argv=None):
     run_teleop(
         mode=args.mode, hardware=args.hardware, ip=args.ip,
         rate=args.rate, step=args.step,
+        joystick=True if args.joystick else None,
     )
 
 

@@ -106,12 +106,15 @@ def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
     """ONE fused jitted dispatch per GRR teleop tick.
 
     Folds the tracking solve, the FK of the current configs, and an
-    inline fixed-depth-2 bisection continuity check (the regime that
-    covers every smooth tracking tick: config distance <= 3*eps) into a
-    single XLA computation. Rows whose config distance needs a deeper
-    subdivision come back flagged ``deep`` and re-check through the full
-    :meth:`ExpansionSolver.is_continuous_batch` on host — by then they are
-    discontinuity candidates anyway.
+    inline fixed-depth-3 bisection continuity check (the regime that
+    covers every smooth tracking tick: config distance <= 7*eps ~ 0.86
+    rad) into a single XLA computation. Rows whose config distance needs
+    a deeper subdivision come back flagged ``deep`` and re-check through
+    the full :meth:`ExpansionSolver.is_continuous_batch` on host — by
+    then they are discontinuity candidates anyway (measured: depth<=2
+    left ~36% of kinova tracking ticks deep because the multi-seed solve
+    occasionally returns a farther valid basin; level 3 makes the deep
+    path rare enough for the block-scan driver to stay on device).
 
     Returns ``tick(targets (N, D), qs (N, A)) ->
     (q_t, ok, curr_pts (N, target_dim), cont, deep)``.
@@ -181,7 +184,7 @@ def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
         n_divs = jnp.ceil(dist / eps).astype(jnp.int32)
         depth = jnp.ceil(jnp.log2(jnp.maximum(n_divs + 1, 1).astype(jnp.float32)))
         depth = depth.astype(jnp.int32)
-        deep = depth > 2
+        deep = depth > 3
 
         cont = jnp.ones(qs32.shape[0], dtype=bool)
         Q0, Q4 = qs32, q_t
@@ -217,6 +220,24 @@ def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
         d2 = robot.distance_batch(qm13, qb)
         ok1 = (v13 & (d1 <= deviation * ds) & (d2 <= deviation * ds)).all(axis=1)
         cont = jnp.where(depth > 1, cont & ok1, cont)
+
+        # level 2: midpoints of the four level-1 segments
+        # (u = 0.125, 0.375, 0.625, 0.875)
+        u_l2 = jnp.asarray([0.125, 0.375, 0.625, 0.875], dtype=jnp.float32)
+        qa2 = jnp.stack([Q0, qm13[:, 0], qm2, qm13[:, 1]], axis=1)  # (N,4,A)
+        qb2 = jnp.stack([qm13[:, 0], qm2, qm13[:, 1], Q4], axis=1)
+        seeds2 = _interp_config_batch(qa2, qb2, 0.5, robot._cyclic_mask)
+        t2 = _interp_point_batch(curr_pts, pts[:, :target_dim], u_l2)
+        qm2l, v2l = _ik(t2.reshape(N * 4, -1), seeds2.reshape(N * 4, A))
+        qm2l = qm2l.reshape(N, 4, A)
+        v2l = v2l.reshape(N, 4)
+        ds2 = robot.distance_batch(qa2, qb2)
+        d1_2 = robot.distance_batch(qa2, qm2l)
+        d2_2 = robot.distance_batch(qm2l, qb2)
+        ok2 = (
+            v2l & (d1_2 <= deviation * ds2) & (d2_2 <= deviation * ds2)
+        ).all(axis=1)
+        cont = jnp.where(depth > 2, cont & ok2, cont)
 
         return q_t, ok, curr_pts, cont, deep
 
@@ -358,6 +379,17 @@ def grr_teleop_batch(
 ):
     """Track N same-length trajectories with GRR teleop, ticks batched.
 
+    Device-resident engine: the config state AND the config-history
+    buffer live on device across the whole loop; each tick is ONE jitted
+    dispatch (tracking solve + inline continuity + smooth step + history
+    commit) plus ONE packed readback of the per-row flags. Over the
+    tunneled runtime that is ~2 RPCs/tick; the previous host-resident
+    loop paid ~7 array round trips per tick (~5 s/tick measured). Rows
+    that need the teleop fallback state machines (roadmap plan-following
+    / nearest-node rescue, ``resolution.py:171-213``) are repaired on
+    host and surgically written back into the device state through a
+    size-bucketed row-update dispatch.
+
     Args:
         resolution: loaded RedundancyResolution.
         trajs: (N, T, D) workspace trajectories.
@@ -370,61 +402,171 @@ def grr_teleop_batch(
     robot = resolution.robot
     trajs = np.asarray(trajs)
     N, T, D = trajs.shape
+    A = q0s.shape[1]
+    total = T + converge_steps
     tick = make_grr_tick(resolution, D)
     plan_fast = make_plan_helper(resolution)
-    qs = np.asarray(q0s, dtype=np.float64).copy()
-    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
+
+    def _tick_body(traj_seq, qs, hist, t):
+        """One tick: solve, check, auto-step the smooth rows, write
+        hist[t+1]. Rows that are NOT plainly smooth keep their config
+        (host repairs them). Returns packed per-row info for the host:
+        [ok, cont, deep, q_t (A), curr_pts (D)] as one f32 array."""
+        targets = traj_seq[jnp.minimum(t, T - 1)]
+        q_t, ok, curr_pts, cont, deep = tick(targets, qs.astype(jnp.float32))
+        smooth = ok & cont & ~deep
+        stepped = _step_toward_j(robot, qs, q_t, max_change)
+        qs = jnp.where(smooth[:, None], stepped, qs)
+        hist = hist.at[t + 1].set(qs)
+        packed = jnp.concatenate(
+            [
+                ok[:, None].astype(jnp.float32),
+                cont[:, None].astype(jnp.float32),
+                deep[:, None].astype(jnp.float32),
+                q_t.astype(jnp.float32),
+                curr_pts.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        return qs, hist, t + 1, packed
+
+    tick_commit = jax.jit(_tick_body)
+
+    S = 16  # ticks per fused device block (see driver below)
+
+    @jax.jit
+    def tick_block(traj_seq, qs, hist, t):
+        """S ticks in ONE dispatch (lax.scan over _tick_body). The host
+        accepts the block iff every tick was all-smooth for the alive
+        rows; otherwise it replays the block tick-by-tick from the
+        (immutable) pre-block state. Each tunnel round trip costs
+        ~0.6-1.3 s, so smooth regimes run ~S x faster than the per-tick
+        loop at ~12 ms/tick of actual device compute."""
+
+        def body(carry, _):
+            qs, hist, t = carry
+            qs, hist, t, packed = _tick_body(traj_seq, qs, hist, t)
+            return (qs, hist, t), packed
+
+        (qs, hist, t), packed = jax.lax.scan(
+            body, (qs, hist, t), None, length=S
+        )
+        return qs, hist, t, packed  # packed (S, N, 3+A+D)
+
+    @jax.jit
+    def write_rows(qs, hist, t, idx, vals, mask):
+        """Host-repaired rows -> device state (t already incremented:
+        the rows land in hist[t])."""
+        vals = jnp.where(mask[:, None], vals, qs[idx])
+        qs = qs.at[idx].set(vals)
+        hist = hist.at[t, idx].set(vals)
+        return qs, hist
+
+    qs_d = jnp.asarray(q0s)
+    hist_d = jnp.zeros((total + 1, N, A), qs_d.dtype).at[0].set(qs_d)
+    t_d = jnp.int32(0)
+    traj_seq = jnp.asarray(np.swapaxes(trajs, 0, 1), dtype=jnp.float32)
+
     plan_path = [None] * N
     plan_idx = [0] * N
     stats = {"ticks": 0, "continuous": 0, "plan_follow": 0, "rescue": 0,
-             "stuck": 0, "deep_recheck": 0}
+             "stuck": 0, "deep_recheck": 0, "blocks": 0, "block_replays": 0}
 
-    for t in range(T + converge_steps):
+    n_alive = int(alive.sum())
+    streak = S  # optimistic: try a block first
+    t = 0
+    while t < total:
+        # ---- fused S-tick block when the recent regime is smooth ----
+        if streak >= S and t + S <= total:
+            stats["blocks"] += 1
+            qs_b, hist_b, t_b, packed_b = tick_block(
+                traj_seq, qs_d, hist_d, t_d
+            )
+            packed_b = np.asarray(packed_b)  # (S, N, C) one readback
+            okb = (packed_b[..., 0] > 0.5) & alive[None, :]
+            contb = packed_b[..., 1] > 0.5
+            deepb = packed_b[..., 2] > 0.5
+            smoothb = okb & contb & ~deepb
+            if bool((smoothb | ~alive[None, :]).all()):
+                qs_d, hist_d, t_d = qs_b, hist_b, t_b
+                stats["ticks"] += S * n_alive
+                stats["continuous"] += S * n_alive
+                for i in np.flatnonzero(alive):
+                    plan_path[i] = None
+                    plan_idx[i] = 0
+                if verbose and (t // S) % 4 == 0:
+                    print(f"  tick {t}/{total}  smooth {n_alive}/{n_alive} "
+                          "(block)")
+                t += S
+                continue
+            # block had a non-smooth tick: discard (pre-block state refs
+            # are untouched) and replay per tick
+            stats["block_replays"] += 1
+            streak = 0
+
+        qs_d, hist_d, t_d, packed = tick_commit(traj_seq, qs_d, hist_d, t_d)
+        packed = np.asarray(packed)  # ONE small readback per tick
+        ok = packed[:, 0] > 0.5
+        cont = packed[:, 1] > 0.5
+        deep = packed[:, 2] > 0.5
+        q_t = packed[:, 3 : 3 + A].astype(np.float64)
+        curr_pts = packed[:, 3 + A :].astype(np.float64)
+        ok &= alive
+        smooth_auto = ok & cont & ~deep
+        stats["ticks"] += int(alive.sum())
+        stats["continuous"] += int(smooth_auto.sum())
+        # rows auto-stepped on device drop any plan state
+        for i in np.flatnonzero(smooth_auto):
+            plan_path[i] = None
+            plan_idx[i] = 0
+
+        attention = np.flatnonzero(alive & ~smooth_auto)
+        if len(attention) == 0:
+            if verbose and t % 50 == 0:
+                print(f"  tick {t}/{total}  smooth {int(smooth_auto.sum())}"
+                      f"/{int(alive.sum())}")
+            t += 1
+            streak += 1
+            continue
+        streak = 0
+
+        # ---- host surgery for the rows the device didn't step ----
+        qs_host = np.asarray(qs_d, dtype=np.float64)
         targets = trajs[:, min(t, T - 1)]
-        q_t, ok, curr_pts, cont, deep = tick(
-            jnp.asarray(targets, dtype=jnp.float32),
-            jnp.asarray(qs, dtype=jnp.float32),
-        )
-        q_t = np.asarray(q_t, dtype=np.float64)
-        ok = np.asarray(ok) & alive
-        curr_pts = np.asarray(curr_pts, dtype=np.float64)
-        cont = np.asarray(cont).copy()
-        deep = np.asarray(deep)
 
-        # rows whose bisection needs more than 2 levels: full host check
+        cont = cont.copy()
         deep_rows = np.flatnonzero(deep & ok)
         if len(deep_rows):
             stats["deep_recheck"] += len(deep_rows)
             cont[deep_rows] = np.asarray(
                 resolution.solver.is_continuous_batch(
-                    qs[deep_rows], q_t[deep_rows],
+                    qs_host[deep_rows], q_t[deep_rows],
                     curr_pts[deep_rows], targets[deep_rows],
                 )
             )
 
-        smooth = ok & cont
-        stepped = step_toward_batch(robot, qs, q_t, max_change)
-
+        new_rows = {}
         rescue_rows = []
-        for i in range(N):
-            if not alive[i]:
-                continue
-            stats["ticks"] += 1
-            if smooth[i]:
+        for i in attention:
+            if ok[i] and cont[i]:
+                # deep row re-checked continuous: take the smooth step
                 plan_path[i] = None
                 plan_idx[i] = 0
-                qs[i] = stepped[i]
+                new_rows[i] = step_toward_batch(
+                    robot, qs_host[i][None], q_t[i][None], max_change
+                )[0]
                 stats["continuous"] += 1
             elif ok[i]:
-                # discontinuity: follow a roadmap plan (resolution.py:171-195)
+                # discontinuity: follow a roadmap plan
+                # (resolution.py:171-195)
                 stats["plan_follow"] += 1
                 if plan_path[i] is None:
                     c_path = plan_fast(curr_pts[i], targets[i], q_t[i])
                     if c_path is not None and len(c_path) > 1:
                         plan_path[i] = np.asarray(c_path, dtype=np.float64)
                         plan_idx[i] = 1
-                        qs[i] = step_toward_batch(
-                            robot, qs[i][None], plan_path[i][1][None],
+                        new_rows[i] = step_toward_batch(
+                            robot, qs_host[i][None], plan_path[i][1][None],
                             max_change,
                         )[0]
                     else:
@@ -432,15 +574,15 @@ def grr_teleop_batch(
                 else:
                     plan_idx[i] += 1
                     if plan_idx[i] < len(plan_path[i]):
-                        qs[i] = step_toward_batch(
-                            robot, qs[i][None],
+                        new_rows[i] = step_toward_batch(
+                            robot, qs_host[i][None],
                             plan_path[i][plan_idx[i]][None], max_change,
                         )[0]
                     else:
                         plan_path[i] = None
                         plan_idx[i] = 0
             else:
-                rescue_rows.append(i)
+                rescue_rows.append(int(i))
 
         if rescue_rows:
             # solve-failure fallback: nearest 5 roadmap nodes, first whose
@@ -456,7 +598,7 @@ def grr_teleop_batch(
             K5 = nbrs.shape[1]
             qn = resolution.configs[nbrs.reshape(-1)]  # (Fp*5, A)
             pn = resolution.points[nbrs.reshape(-1)]
-            qrep = np.repeat(qs[rows], K5, axis=0)
+            qrep = np.repeat(qs_host[rows], K5, axis=0)
             prep = np.repeat(curr_pts[rows], K5, axis=0)
             cont5 = np.asarray(
                 resolution.solver.is_continuous_batch(qn, qrep, pn, prep)
@@ -464,8 +606,8 @@ def grr_teleop_batch(
             for r, i in enumerate(rescue_rows):
                 hit = np.flatnonzero(cont5[r])
                 if len(hit):
-                    qs[i] = step_toward_batch(
-                        robot, qs[i][None],
+                    new_rows[i] = step_toward_batch(
+                        robot, qs_host[i][None],
                         resolution.configs[nbrs[r, hit[0]]][None].astype(
                             np.float64
                         ),
@@ -474,47 +616,98 @@ def grr_teleop_batch(
                 else:
                     stats["stuck"] += 1
 
-        for i in range(N):
-            if alive[i]:
-                c_trajs[i].append(qs[i].copy())
+        if new_rows:
+            idx = np.fromiter(new_rows.keys(), dtype=np.int64)
+            vals = np.stack([new_rows[i] for i in idx])
+            for i, v in zip(idx, vals):
+                qs_host[i] = v
+            P = _pow2(len(idx))
+            mask = np.arange(P) < len(idx)
+            idx_p = np.pad(idx, (0, P - len(idx)), mode="edge")
+            vals_p = np.pad(vals, ((0, P - len(vals)), (0, 0)), mode="edge")
+            qs_d, hist_d = write_rows(
+                qs_d, hist_d, t_d,
+                jnp.asarray(idx_p), jnp.asarray(vals_p, dtype=qs_d.dtype),
+                jnp.asarray(mask),
+            )
         if verbose and t % 50 == 0:
-            print(f"  tick {t}/{T + converge_steps}  "
-                  f"smooth {int(smooth.sum())}/{int(alive.sum())}")
+            print(f"  tick {t}/{total}  smooth "
+                  f"{int(smooth_auto.sum()) + sum(1 for i in attention if ok[i] and cont[i])}"
+                  f"/{int(alive.sum())}")
+        t += 1
 
-    return [np.asarray(c) for c in c_trajs], stats
+    hist = np.asarray(hist_d, dtype=np.float64)  # one readback at the end
+    c_trajs = [
+        hist[:, i] if alive[i] else np.zeros((0, A)) for i in range(N)
+    ]
+    return c_trajs, stats
+
+
+def _step_toward_j(robot, qs, targets, max_change):
+    """Traceable ``teleop_towards`` (``resolution.py:215-228``)."""
+    cyc = robot._cyclic_mask
+    diff = targets - qs
+    diff = jnp.where(cyc, jnp.mod(diff + jnp.pi, 2 * jnp.pi) - jnp.pi, diff)
+    m = jnp.max(jnp.abs(diff), axis=-1)
+    u = jnp.where(m < max_change, 1.0, max_change / jnp.maximum(m, 1e-12))
+    out = qs + u[..., None] * diff
+    return jnp.where(cyc, jnp.mod(out + jnp.pi, 2 * jnp.pi) - jnp.pi, out)
 
 
 def newton_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
                         converge_steps=100):
-    """Plain-IK tracking arm, ticks batched (reference
-    ``newton_teleop_solver`` semantics: step toward the raw IK result)."""
+    """Plain-IK tracking arm (reference ``newton_teleop_solver``
+    semantics: step toward the raw IK result).
+
+    The entire T+converge tick loop runs as ONE ``lax.scan`` dispatch —
+    the Newton arm has no host-side fallback state machine, so nothing
+    requires a per-tick round trip (which costs ~5 s/tick over the
+    tunneled runtime vs ~milliseconds inside the scan)."""
     trajs = np.asarray(trajs)
     N, T, D = trajs.shape
-    solver = make_newton_solver(robot)
-    qs = np.asarray(q0s, dtype=np.float64).copy()
-    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
-    for t in range(T + converge_steps):
-        targets = trajs[:, min(t, T - 1)]
-        q_t = np.asarray(
-            solver(jnp.asarray(targets, dtype=jnp.float32),
-                   jnp.asarray(qs, dtype=jnp.float32)),
-            dtype=np.float64,
-        )
-        stepped = step_toward_batch(robot, qs, q_t, max_change)
-        qs[alive] = stepped[alive]
-        for i in range(N):
-            if alive[i]:
-                c_trajs[i].append(qs[i].copy())
-    return [np.asarray(c) for c in c_trajs]
+    total = T + converge_steps
+
+    @jax.jit
+    def run(traj_seq, q0):
+        def tick(qs, targets):
+            pts = jnp.asarray(targets, dtype=jnp.float32)
+            pos, rotm, use_rot = robot._ik_targets(pts)
+            res = dls_ik_batch(
+                robot.model, robot._active_tuple, robot.ee_link,
+                pos, rotm, qs.astype(jnp.float32), robot._q_rest,
+                max_iters=100, tolerance=1e-3, use_rotation=use_rot,
+            )
+            q_t = jnp.where(
+                robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config
+            ).astype(jnp.float64)
+            qs = _step_toward_j(robot, qs, q_t, max_change)
+            return qs, qs
+
+        idx = jnp.minimum(jnp.arange(total), T - 1)
+        _, hist = jax.lax.scan(tick, q0, traj_seq[idx])
+        return hist  # (total, N, A)
+
+    hist = np.asarray(
+        run(jnp.asarray(np.swapaxes(trajs, 0, 1)),
+            jnp.asarray(q0s, dtype=jnp.float64))
+    )
+    return [
+        np.concatenate([q0s[i][None], hist[:, i]]) if alive[i]
+        else np.zeros((0, q0s.shape[1]))
+        for i in range(N)
+    ]
 
 
 def relaxed_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
                          converge_steps=100):
-    """RelaxedIK arm, ticks batched (vmapped ``_relaxed_step``)."""
+    """RelaxedIK arm — like the Newton arm, the whole tick loop is ONE
+    ``lax.scan`` dispatch (vmapped ``_relaxed_step`` per tick, no host
+    state)."""
     from reconplan_tpu.kin.relaxed import _relaxed_step
 
     trajs = np.asarray(trajs)
     N, T, D = trajs.shape
+    total = T + converge_steps
     weights = jnp.asarray([50.0, 10.0, 1.0, 1.0], dtype=jnp.float32)
 
     if robot.rotation == "fixed" and robot.fixed_rotation is not None:
@@ -522,35 +715,39 @@ def relaxed_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
     else:
         fixed_quat = np.asarray([0, 0, 0, 1], dtype=np.float32)
 
-    step_many = jax.jit(
-        jax.vmap(
-            lambda q, p, r: _relaxed_step(
-                robot.model, robot._active_tuple, robot.ee_link,
-                q, p, r, robot._q_rest, weights,
-            )
+    step_many = jax.vmap(
+        lambda q, p, r: _relaxed_step(
+            robot.model, robot._active_tuple, robot.ee_link,
+            q, p, r, robot._q_rest, weights,
         )
     )
 
-    qs = np.asarray(q0s, dtype=np.float64).copy()
-    c_trajs = [[qs[i].copy()] if alive[i] else [] for i in range(N)]
-    for t in range(T + converge_steps):
-        targets = trajs[:, min(t, T - 1)]
-        pos = jnp.asarray(targets[:, :3], dtype=jnp.float32)
-        if D > 3:
-            quat = jnp.asarray(targets[:, 3:7], dtype=jnp.float32)
-            quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
-        else:
-            quat = jnp.broadcast_to(jnp.asarray(fixed_quat), (N, 4))
-        q_t = np.asarray(
-            step_many(jnp.asarray(qs, dtype=jnp.float32), pos, quat),
-            dtype=np.float64,
-        )
-        stepped = step_toward_batch(robot, qs, q_t, max_change)
-        qs[alive] = stepped[alive]
-        for i in range(N):
-            if alive[i]:
-                c_trajs[i].append(qs[i].copy())
-    return [np.asarray(c) for c in c_trajs]
+    @jax.jit
+    def run(traj_seq, q0):
+        def tick(qs, targets):
+            pos = targets[:, :3].astype(jnp.float32)
+            if D > 3:
+                quat = targets[:, 3:7].astype(jnp.float32)
+                quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+            else:
+                quat = jnp.broadcast_to(jnp.asarray(fixed_quat), (N, 4))
+            q_t = step_many(qs.astype(jnp.float32), pos, quat)
+            qs = _step_toward_j(robot, qs, q_t, max_change)
+            return qs, qs
+
+        idx = jnp.minimum(jnp.arange(total), T - 1)
+        _, hist = jax.lax.scan(tick, q0, traj_seq[idx])
+        return hist
+
+    hist = np.asarray(
+        run(jnp.asarray(np.swapaxes(trajs, 0, 1)),
+            jnp.asarray(q0s, dtype=jnp.float64))
+    )
+    return [
+        np.concatenate([q0s[i][None], hist[:, i]]) if alive[i]
+        else np.zeros((0, q0s.shape[1]))
+        for i in range(N)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -631,16 +828,21 @@ def se3_cost_matrix(a, b):
 def dtw_reference(traj1, traj2):
     """Reference DTW (``experiment/utils.py:87-144``): DP matrix with
     inf-filled first row/column, backtracked index pairs, distance = sum of
-    pairwise costs along the path normalized by ``len(traj1)``.
+    pairwise costs along the path normalized by ``len(traj1)``."""
+    a = np.asarray(traj1)
+    b = np.asarray(traj2)
+    cost = se3_cost_matrix(a, b).astype(np.float64)
+    return _dtw_from_cost(cost) / len(a)
+
+
+def _dtw_from_cost(cost):
+    """DTW dynamic program + backtrack on a precomputed cost matrix.
 
     The row recurrence D[i,j] = c[j] + min(D[i-1,j], D[i-1,j-1], D[i,j-1])
     vectorizes via prefix sums: unrolling horizontal moves gives
     D[i,j] = S[j] + min_{k<=j}(m'[k] - S[k-1]) with m' = min of the two
     upper entries and S = cumsum(c) — an O(m) ``minimum.accumulate`` per
     row instead of an O(m) Python loop."""
-    a = np.asarray(traj1)
-    b = np.asarray(traj2)
-    cost = se3_cost_matrix(a, b).astype(np.float64)
     n, m = cost.shape
     D = np.full((n, m), np.inf)
     D[0, 0] = 0.0
@@ -671,8 +873,7 @@ def dtw_reference(traj1, traj2):
     else:
         pairs.extend((ii, 0) for ii in range(i + 1))
 
-    dist = float(sum(cost[i, j] for i, j in pairs))
-    return dist / len(a)
+    return float(sum(cost[i, j] for i, j in pairs))
 
 
 def config_lengths(robot, c_traj):
@@ -706,24 +907,89 @@ def ws_length(w_traj):
 
 def cold_starts(resolution, trajs):
     """Per-trajectory q0 via cold resolution.solve of start AND end
-    (``trajectory_quality.py:72-80``). Returns (q0s (N, A), alive (N,))."""
+    (``trajectory_quality.py:72-80``). Returns (q0s (N, A), alive (N,)).
+
+    Batched: the cold-start semantics of :meth:`RedundancyResolution.solve`
+    (k-NN -> exact-node match -> largest-connected-component weighted
+    average seed, ``resolution.py:313-433``) run host-side per point on
+    numpy, and ALL the IK solves collapse into one ``dls_ik_batch``
+    dispatch — the per-point ``resolution.solve`` loop cost ~5 s/point
+    over the tunneled runtime (~30 min of cold starts per kind at the
+    reference's 100-trajectory protocol)."""
     robot = resolution.robot
     N = len(trajs)
-    q0s = np.zeros((N, robot.num_joints), dtype=np.float64)
+    A = robot.num_joints
+    q0s = np.zeros((N, A), dtype=np.float64)
     alive = np.zeros(N, dtype=bool)
-    for i, traj in enumerate(trajs):
-        q0 = resolution.solve(traj[0], none_on_fail=True)
-        if q0 is None:
+    if N == 0 or len(resolution.points) == 0:
+        return q0s, alive
+
+    pts = np.stack(
+        [np.asarray(t[0], dtype=np.float64) for t in trajs]
+        + [np.asarray(t[-1], dtype=np.float64) for t in trajs]
+    )  # (2N, D) starts then ends
+    if pts.shape[1] > 3:
+        pts[:, 3:] /= np.linalg.norm(pts[:, 3:], axis=-1, keepdims=True)
+    k = resolution.workspace.interpolate_num_neighbors
+    nbrs = resolution.workspace.get_workspace_neighbors(
+        pts.astype(np.float32), k=min(k, len(resolution.points)),
+        points=resolution.points,
+    )  # (2N, k)
+    seeds = np.zeros((2 * N, A), dtype=np.float32)
+    for m in range(2 * N):
+        neighbors = [int(n) for n in np.atleast_1d(nbrs[m])]
+        # exact node match (resolution.py:313-318)
+        d0 = np.asarray(
+            maths.se3_distance(
+                jnp.asarray(pts[m], dtype=jnp.float32)[None],
+                jnp.asarray(resolution.points[neighbors]),
+            )
+        )
+        if d0.min() < 1e-3:
+            seeds[m] = resolution.configs[neighbors[int(d0.argmin())]]
             continue
-        if resolution.solve(traj[-1], none_on_fail=True) is None:
-            continue
-        q0s[i] = np.asarray(q0, dtype=np.float64)
-        alive[i] = True
+        # largest-connected-component weighted average (resolution.py:369-433)
+        component = resolution._component_containing(neighbors, neighbors[0])
+        comp = sorted(component)
+        q_nbrs = resolution.configs[comp]
+        d = np.asarray(
+            maths.se3_distance(
+                jnp.asarray(pts[m], dtype=jnp.float32)[None],
+                jnp.asarray(resolution.points[comp]),
+            )
+        )
+        workspace_w = (d.max() / np.maximum(d, 1e-12)) ** 2
+        weights = (1.0 / (workspace_w + 1e-6)) ** 2  # resolution.py:424 quirk
+        seeds[m] = np.asarray(robot.average(q_nbrs, weights))
+
+    M = 2 * N
+    Mp = _pow2(M)
+    pts_p = np.pad(pts, ((0, Mp - M), (0, 0)), mode="edge")
+    seeds_p = np.pad(seeds, ((0, Mp - M), (0, 0)), mode="edge")
+    q, ok = robot.solve_ik_batch(
+        jnp.asarray(pts_p, dtype=jnp.float32), jnp.asarray(seeds_p)
+    )
+    q = np.asarray(q)[:M]
+    ok = np.asarray(ok)[:M]
+    alive = ok[:N] & ok[N:]
+    q0s[alive] = q[:N][alive].astype(np.float64)
     return q0s, alive
 
 
 def analyze_arm(robot, trajs, c_trajs, num_div=4):
-    """Per-trajectory metrics rows (``analyze_results`` semantics)."""
+    """Per-trajectory metrics rows (``analyze_results`` semantics).
+
+    Rows of equal length (the engine's output shape) batch every device
+    stage across ALL trajectories — final-config FK, interpolated
+    self-collision, workspace-trajectory FK, and the DTW cost matrices
+    each run as ONE dispatch instead of one per row (the per-row loop
+    cost ~4 tunnel round trips x N rows x 16 arm-kind pairs ~ hours at
+    the reference's 100-trajectory protocol). The DTW dynamic program
+    itself stays on host (vectorized rows, ``dtw_reference``)."""
+    live = [i for i, c in enumerate(c_trajs) if len(c)]
+    lens = {len(c_trajs[i]) for i in live}
+    if len(live) >= 2 and len(lens) == 1:
+        return _analyze_arm_batched(robot, trajs, c_trajs, live, num_div)
     rows = []
     for traj, c_traj in zip(trajs, c_trajs):
         ok = check_c_traj_batch(robot, traj[-1], c_traj)
@@ -740,6 +1006,103 @@ def analyze_arm(robot, trajs, c_trajs, num_div=4):
             )
         rows.append(row)
     return rows
+
+
+def _analyze_arm_batched(robot, trajs, c_trajs, live, num_div=4,
+                         check_div=8):
+    """Batched ``analyze_arm`` core for equal-length live rows."""
+    C = np.stack([c_trajs[i] for i in live])  # (M, L, A)
+    M, L, A = C.shape
+    goals = np.stack([np.asarray(trajs[i][-1]) for i in live])
+
+    # --- goal reach: FK of every final config in one dispatch ---
+    ee_fin = np.asarray(
+        robot.fk_point_batch(C[:, -1].astype(np.float32))
+    )  # (M, 7)
+    reach = np.linalg.norm(ee_fin[:, :3] - goals[:, :3], axis=-1) <= 0.1
+    if robot.rotation != "free":
+        for m in range(M):
+            if not reach[m]:
+                continue
+            g = goals[m]
+            ref_quat = (
+                g[3:7] if len(g) > 3 else (
+                    np.asarray(robot.fixed_rotation)
+                    if robot.fixed_rotation is not None else None
+                )
+            )
+            if ref_quat is not None:
+                ang = 2 * np.arccos(
+                    min(1.0, abs(float(np.dot(ee_fin[m, 3:7], ref_quat))))
+                )
+                if ang > 0.1:
+                    reach[m] = False
+
+    # --- interpolated self-collision: ONE dispatch over all rows ---
+    qi_chk = np.stack(
+        [interpolated_configs(robot, C[m], check_div) for m in range(M)]
+    )  # (M, (L-1)*check_div, A)
+    flat = qi_chk.reshape(-1, A).astype(np.float32)
+    coll = np.zeros(len(flat), dtype=bool)
+    CH = 1 << 17
+    for s in range(0, len(flat), CH):
+        coll[s : s + CH] = np.asarray(
+            robot.check_self_collision_batch(flat[s : s + CH])
+        )
+    collided = coll.reshape(M, -1).any(axis=1)
+    success = reach & ~collided
+
+    # --- workspace trajectories: ONE FK dispatch over all rows ---
+    qi_ws = np.stack(
+        [interpolated_configs(robot, C[m], num_div) for m in range(M)]
+    )  # (M, (L-1)*num_div, A)
+    W = qi_ws.shape[1]
+    pts = _fk_points_batch(robot, qi_ws.reshape(-1, A))
+    D = pts.shape[1]
+    pts = pts.reshape(M, W, D)
+    starts = np.stack(
+        [np.asarray(trajs[i][0], dtype=np.float64)[:D] for i in live]
+    )
+    w_trajs = np.concatenate([starts[:, None], pts], axis=1)  # (M, W+1, D)
+
+    # --- DTW cost matrices: one vmapped dispatch ---
+    in_trajs = np.stack([np.asarray(trajs[i])[:, :D] for i in live])
+    cost_all = np.asarray(
+        jax.jit(jax.vmap(se3_pairwise))(
+            jnp.asarray(in_trajs, dtype=jnp.float32),
+            jnp.asarray(w_trajs, dtype=jnp.float32),
+        )
+    ).astype(np.float64)
+
+    # --- lengths: batched distances ---
+    cd = np.asarray(
+        robot.distance_batch(
+            jnp.asarray(C[:, :-1].reshape(-1, A), dtype=jnp.float32),
+            jnp.asarray(C[:, 1:].reshape(-1, A), dtype=jnp.float32),
+        )
+    ).reshape(M, L - 1)
+    c_lens = cd.sum(axis=1)
+    wd = np.asarray(
+        maths.se3_distance(
+            jnp.asarray(w_trajs[:, :-1].reshape(-1, D), dtype=jnp.float32),
+            jnp.asarray(w_trajs[:, 1:].reshape(-1, D), dtype=jnp.float32),
+        )
+    ).reshape(M, W)
+    w_lens = wd.sum(axis=1)
+
+    by_live = {}
+    for mi, i in enumerate(live):
+        dtw = _dtw_from_cost(cost_all[mi]) / len(in_trajs[mi])
+        by_live[i] = {
+            "success": bool(success[mi]),
+            "dtw": dtw,
+            "c_length": float(c_lens[mi]),
+            "w_length": float(w_lens[mi]),
+            "ratio": float(c_lens[mi] / max(w_lens[mi], 1e-9)),
+        }
+    return [
+        by_live.get(i, {"success": False}) for i in range(len(c_trajs))
+    ]
 
 
 def summarize(rows, success_only=True):

@@ -427,6 +427,62 @@ class TestTeleopAndBatch:
             diff[0] = min(diff[0], 2 * np.pi - diff[0])
             assert diff.max() <= 0.05 + 1e-5
 
+    def test_reference_benchmark_engine(self, small_roadmap):
+        """The device-resident teleop benchmark engine runs all arms on
+        short trajectories and yields reference-shaped summaries
+        (trajectory_quality.py:147-285 semantics, ticks fused)."""
+        from reconplan_tpu.grr.teleop_batch import run_reference_benchmark
+
+        res = small_roadmap
+        robot = res.robot
+        # two short straight-line task trajectories between roadmap points
+        trajs = []
+        for a, b in ((0, 1), (1, 2)):
+            pa, pb = res.points[a][:3], res.points[b][:3]
+            u = np.linspace(0, 1, 12)[:, None]
+            trajs.append((pa[None] * (1 - u) + pb[None] * u).astype(
+                np.float64
+            ))
+        results, stats = run_reference_benchmark(
+            res, {"line": trajs}, include_relaxed=True,
+            converge_steps=10, verbose=False,
+        )
+        row = results["line"]
+        assert set(row) >= {"grr", "newton", "relaxed"}
+        for arm, summary in row.items():
+            assert summary["n"] == 2, (arm, summary)
+            assert 0.0 <= summary["success_rate"] <= 1.0
+        # the GRR config paths obey the per-tick max_change clamp
+        assert stats["line"]["grr"]["ticks"] > 0
+
+    def test_grr_engine_tick_clamp(self, small_roadmap):
+        """Every consecutive pair in the GRR arm's config history obeys
+        the 0.04 max joint change (cyclic-aware) — the device-resident
+        auto-step and host fallback surgery must both respect it."""
+        from reconplan_tpu.grr.teleop_batch import (
+            cold_starts,
+            grr_teleop_batch,
+        )
+
+        res = small_roadmap
+        pa, pb = res.points[0][:3], res.points[2][:3]
+        u = np.linspace(0, 1, 15)[:, None]
+        trajs = np.stack([pa[None] * (1 - u) + pb[None] * u]).astype(
+            np.float64
+        )
+        q0s, alive = cold_starts(res, trajs)
+        if not alive.any():
+            pytest.skip("no resolution solution for the fixture roadmap")
+        c_trajs, _stats = grr_teleop_batch(
+            res, trajs, q0s, alive, max_change=0.04, converge_steps=5,
+        )
+        c = c_trajs[0]
+        assert len(c) == 15 + 5 + 1
+        diff = np.abs(np.diff(c, axis=0))
+        cyc = np.asarray(res.robot._cyclic_mask)
+        diff = np.where(cyc, np.minimum(diff, 2 * np.pi - diff), diff)
+        assert diff.max() <= 0.04 + 1e-4, diff.max()
+
     def test_solve_batch_matches_targets(self, small_roadmap):
         res = small_roadmap
         arc = scan_arc([0.75, 0.75, 0.0], num_points=12)

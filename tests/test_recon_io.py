@@ -423,6 +423,24 @@ class TestTeleopCLI:
         n = run_teleop(mode="grr", script="wwq", verbose=False)
         assert n == 2
 
+    def test_joystick_teleop_axis_mapping(self):
+        """Joystick axes drive the tool with the reference's mapping
+        (teleop_joystick.py:49-55): x=-axis1, y=axis0, z=-axis4."""
+        from reconplan_tpu.apps.teleop import joystick_offsets, run_teleop
+
+        class FakeStick:
+            def get_axis(self, i):
+                return {0: 0.0, 1: -1.0, 4: 0.5}.get(i, 0.0)
+
+        offs = dict(joystick_offsets(FakeStick()))
+        assert offs[0] == 1.0 and offs[1] == 0.0 and offs[2] == -0.5
+
+        n = run_teleop(
+            mode="rtde", joystick=FakeStick(), max_ticks=4, rate=0.0,
+            verbose=False,
+        )
+        assert n == 4
+
 
 class TestTeleopHTTPServer:
     @pytest.mark.slow
