@@ -34,7 +34,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # session env presets JAX_PLATFORMS=axon; force the override
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -56,8 +56,10 @@ def main(argv=None):
     import jax
 
     if args.platform == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        # the session env presets JAX_PLATFORMS=axon, so setdefault would
+        # silently leave the run on the TPU tunnel — force the override
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
 
     from reconplan_tpu.apps.redundancy import build_roadmap, discover_seed_configs  # noqa: F401
     from reconplan_tpu.grr import RedundancyResolution

@@ -15,10 +15,14 @@ import argparse
 import os
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# session env presets JAX_PLATFORMS=axon; setdefault would leave this
+# eval running over the TPU tunnel — force the CPU override
+os.environ["JAX_PLATFORMS"] = "cpu"
 import numpy as np
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from reconplan_tpu.io.meshio import load_mesh, sample_mesh_surface
