@@ -128,7 +128,9 @@ def get_so3_grid(n_points, rot_domain, fixed_rotation_euler, num_neighbors):
         angles = np.linspace(-np.pi, np.pi, n_points, endpoint=False)
         eulers = np.tile(np.asarray(fixed_rotation_euler, dtype=np.float64), (n_points, 1))
         eulers[:, rot_domain.index(1)] = angles
-        quats = np.asarray(maths.euler_to_quat(jnp.asarray(eulers), seq="zyx"))
+        quats = np.asarray(
+            maths.euler_to_quat(jnp.asarray(eulers), seq=maths.PROBLEM_EULER_SEQ)
+        )
     elif n_free == 3:
         quats = super_fibonacci_so3(n_points)
     else:

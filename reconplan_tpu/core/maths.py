@@ -118,6 +118,24 @@ def matrix_to_quat(m):
 
 _AXES = {"x": 0, "y": 1, "z": 2}
 
+# Euler convention for PROBLEM-BOUNDARY data (problem-JSON
+# ``fixed_rotation`` and the ``rot_domain`` axis indexing).
+#
+# The reference is internally inconsistent here: its conversion helpers
+# default to ``seq="zyx"`` (``grr/utils.py:96,108,123``) while
+# ``get_so3_grid``'s contract says "fixed_rotation: defined in euler
+# angle form (x, y, z)" (``grr/utils.py:270-273``) and the problem JSONs
+# comment the same intent. Every roadmap artifact the reference ships
+# realizes the (x, y, z) reading: ur10/kinova ``rot_fixed`` configs put
+# tool-z straight DOWN (R = Rz(pi/2) @ Rx(-pi) = [[0,1,0],[1,0,0],
+# [0,0,-1]]), and planar_5 ``rot_variable`` varies the rotation about the
+# +z plane normal. Under the "zyx" reading the same JSONs would point the
+# ur10 tool horizontally and spin planar_5 out of its plane (only
+# 487/8104 nodes IK-reachable vs the artifact's 3932). We therefore
+# interpret problem-boundary euler as extrinsic (x, y, z), matching the
+# shipped artifacts and the documented intent.
+PROBLEM_EULER_SEQ = "xyz"
+
 
 def _axis_angle_quat(axis_index, angle):
     half = 0.5 * angle

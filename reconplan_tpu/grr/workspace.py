@@ -115,7 +115,10 @@ class RoadmapWorkspace:
         else:
             if self.robot.fixed_rotation is not None:
                 fixed_euler = np.asarray(
-                    maths.quat_to_euler(jnp.asarray(self.robot.fixed_rotation))
+                    maths.quat_to_euler(
+                        jnp.asarray(self.robot.fixed_rotation),
+                        seq=maths.PROBLEM_EULER_SEQ,
+                    )
                 )
             else:
                 fixed_euler = np.zeros(3)

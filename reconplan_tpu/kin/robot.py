@@ -77,7 +77,12 @@ class Robot:
         self.domain = [tuple(map(float, d)) for d in domain]
         self.rot_domain = list(rot_domain)
         self.fixed_rotation = (
-            np.asarray(maths.euler_to_quat(jnp.asarray(fixed_rotation, dtype=jnp.float32)))
+            np.asarray(
+                maths.euler_to_quat(
+                    jnp.asarray(fixed_rotation, dtype=jnp.float32),
+                    seq=maths.PROBLEM_EULER_SEQ,
+                )
+            )
             if fixed_rotation is not None
             else None
         )
@@ -226,10 +231,17 @@ class Robot:
                 angle = gen.uniform(-np.pi, np.pi)
                 # np.array (copy): np.asarray of a JAX array is read-only
                 euler = np.array(
-                    maths.quat_to_euler(jnp.asarray(self.fixed_rotation))
+                    maths.quat_to_euler(
+                        jnp.asarray(self.fixed_rotation),
+                        seq=maths.PROBLEM_EULER_SEQ,
+                    )
                 )
                 euler[self.rot_domain.index(1)] = angle
-                quat = np.asarray(maths.euler_to_quat(jnp.asarray(euler)))
+                quat = np.asarray(
+                    maths.euler_to_quat(
+                        jnp.asarray(euler), seq=maths.PROBLEM_EULER_SEQ
+                    )
+                )
             else:
                 g = gen.normal(size=4)
                 quat = g / np.linalg.norm(g)

@@ -242,3 +242,30 @@ class TestGrids:
         # all quats should share fixed x/y rotation structure: check they are
         # valid unit quats
         np.testing.assert_allclose(np.linalg.norm(quats, axis=-1), 1.0, atol=1e-6)
+
+    def test_so3_grid_yaw_axis_matches_reference_artifacts(self):
+        """rot_domain [0,0,1] must vary the rotation about +z (the euler
+        vector is (x, y, z) per ``grr/utils.py:270-273`` and the shipped
+        planar_5 rot_variable artifact), NOT about x as the reference's
+        own ``seq="zyx"`` default would read it."""
+        from reconplan_tpu.core import grids, maths
+
+        quats, _ = grids.get_so3_grid(8, [0, 0, 1], [0.0, 0.0, 0.0], 2)
+        # rotations about z: x/y quat components stay zero
+        np.testing.assert_allclose(quats[:, 0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(quats[:, 1], 0.0, atol=1e-7)
+        assert np.abs(quats[:, 2]).max() > 0.9  # z component sweeps the circle
+
+    def test_problem_euler_seq_tool_down(self):
+        """The ur10/kinova rot_fixed ``fixed_rotation`` [-pi, 0, pi/2]
+        must realize tool-z-DOWN (R = Rz(pi/2) @ Rx(-pi)) — the
+        orientation every reference roadmap artifact achieves."""
+        from reconplan_tpu.core import maths
+
+        q = maths.euler_to_quat(
+            jnp.asarray([-np.pi, 0.0, np.pi / 2]), seq=maths.PROBLEM_EULER_SEQ
+        )
+        R = np.asarray(maths.quat_to_matrix(q))
+        np.testing.assert_allclose(
+            R, [[0, 1, 0], [1, 0, 0], [0, 0, -1]], atol=1e-6
+        )
