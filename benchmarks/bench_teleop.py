@@ -167,7 +167,10 @@ def main(argv=None):
             agg[method] = None
             continue
         def _mean(key):
-            xs = [r[key] for r in rows if r.get(key) is not None]
+            # skip None AND nan (an arm with zero valid rows in one kind
+            # reports nan there but may have real numbers elsewhere)
+            xs = [r[key] for r in rows
+                  if r.get(key) is not None and r[key] == r[key]]
             return sum(xs) / len(xs) if xs else None
 
         agg[method] = {

@@ -65,6 +65,8 @@ def build_roadmap(
     resume=False,
     verbose=True,
     floor_check=None,
+    fix_boundary_layers=1,
+    fix_boundary_iters=2,
 ):
     """Build (or ``resume`` an interrupted build of) a roadmap.
 
@@ -119,7 +121,10 @@ def build_roadmap(
     )
     if verbose:
         print(f"Expansion: {time.time()-t0:.1f}s" + (" (resumed)" if resumed else ""))
-    res.fix_boundary(1, 2)  # redundancy.py:128
+    # reference default: fix_boundary(1, 2) (redundancy.py:128); more
+    # iterations/layers repair more of the discontinuous boundary at the
+    # cost of extra IK waves
+    res.fix_boundary(fix_boundary_layers, fix_boundary_iters)
     res.save_solver_graph(solver_path)
     res.build_resolution_graph_and_nn()
 
@@ -144,6 +149,8 @@ def main(argv=None):
         "--resume", action="store_true",
         help="continue an interrupted build from workspace.npz/solver.npz",
     )
+    ap.add_argument("--fix-boundary-layers", type=int, default=1)
+    ap.add_argument("--fix-boundary-iters", type=int, default=2)
     ap.add_argument(
         "--no-floor-check", action="store_true",
         help="disable the UR10 floor check (reference-ARTIFACT parity: the "
@@ -160,6 +167,8 @@ def main(argv=None):
         out_dir=args.out,
         resume=args.resume,
         floor_check=False if args.no_floor_check else None,
+        fix_boundary_layers=args.fix_boundary_layers,
+        fix_boundary_iters=args.fix_boundary_iters,
     )
 
 
