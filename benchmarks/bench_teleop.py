@@ -53,6 +53,15 @@ def main(argv=None):
                     "100/kind protocol is TPU-practical")
     args = ap.parse_args(argv)
 
+    # XLA's CPU AOT loader logs a ~1.5 KB E-line per persistent-cache load
+    # when a cached executable's recorded target features don't string-match
+    # the host enumeration (spurious: "+prefer-no-scatter" is a compile
+    # preference, not a host feature) — 38 of them flooded the round-3
+    # n=100 log. The level is read lazily at first C++ log emission, so
+    # setting it here (before any XLA logging) works even though
+    # sitecustomize already imported jax.
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
     import jax
 
     if args.platform == "cpu":

@@ -355,8 +355,26 @@ def main(argv=None):
                     "(view with tensorboard --logdir DIR)")
     args = ap.parse_args(argv)
     from reconplan_tpu.utils.profiling import maybe_trace
+    from reconplan_tpu.utils.tpu_lock import tpu_lock
 
-    with maybe_trace(args.profile):
+    import jax
+
+    # one-tunnel-client-at-a-time discipline: hold the pidfile for the
+    # whole scan when this process will dial the TPU (the tunnel
+    # serializes clients — a scan running during a bench capture would
+    # stall both; see utils/tpu_lock.py). Decide from the configured
+    # platform STRING — jax.default_backend() would initialize the
+    # backend, which blocks ~25 min against a downed tunnel.
+    plat = (jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS") or "")
+    if not plat.startswith("cpu"):
+        lock = tpu_lock(name="apps.scan", wait_secs=600)
+    else:
+        import contextlib
+
+        lock = contextlib.nullcontext()
+
+    with lock, maybe_trace(args.profile):
         run_scan(
             roadmap_dir=args.roadmap,
             n_waypoints=args.waypoints,

@@ -33,6 +33,8 @@ Solver-arm semantics are the reference's, quirks included:
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 import jax
@@ -475,7 +477,19 @@ def grr_teleop_batch(
     n_alive = int(alive.sum())
     streak = S  # optimistic: try a block first
     t = 0
+    t_start = time.time()
+    last_beat = t_start
     while t < total:
+        # wall-time heartbeat: fallback-surgery regions can take seconds
+        # per tick, so tick-count-gated prints alone can go silent for
+        # over an hour (round-3 weak #7) — emit progress every 30 s
+        if verbose and time.time() - last_beat > 30:
+            last_beat = time.time()
+            print(f"  [heartbeat] tick {t}/{total} "
+                  f"elapsed {last_beat - t_start:.0f}s "
+                  f"rescue={stats['rescue']} plan={stats['plan_follow']} "
+                  f"stuck={stats['stuck']} deep={stats['deep_recheck']}",
+                  flush=True)
         # ---- fused S-tick block when the recent regime is smooth ----
         if streak >= S and t + S <= total:
             stats["blocks"] += 1
@@ -679,7 +693,7 @@ def newton_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
             )
             q_t = jnp.where(
                 robot._cyclic_mask, maths.wrap_to_pi(res.config), res.config
-            ).astype(jnp.float64)
+            ).astype(jnp.float32)
             qs = _step_toward_j(robot, qs, q_t, max_change)
             return qs, qs
 
@@ -689,7 +703,7 @@ def newton_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
 
     hist = np.asarray(
         run(jnp.asarray(np.swapaxes(trajs, 0, 1)),
-            jnp.asarray(q0s, dtype=jnp.float64))
+            jnp.asarray(q0s, dtype=jnp.float32))
     )
     return [
         np.concatenate([q0s[i][None], hist[:, i]]) if alive[i]
@@ -741,7 +755,7 @@ def relaxed_teleop_batch(robot, trajs, q0s, alive, max_change=0.04,
 
     hist = np.asarray(
         run(jnp.asarray(np.swapaxes(trajs, 0, 1)),
-            jnp.asarray(q0s, dtype=jnp.float64))
+            jnp.asarray(q0s, dtype=jnp.float32))
     )
     return [
         np.concatenate([q0s[i][None], hist[:, i]]) if alive[i]
@@ -1144,37 +1158,53 @@ def run_reference_benchmark(
             results[kind] = {}
             continue
         trajs = np.stack(trajs)
+        t_kind = time.time()
+
+        def _phase(msg):
+            if verbose:
+                print(f"[{kind}] +{time.time() - t_kind:.0f}s {msg}",
+                      flush=True)
+
         q0s, alive = cold_starts(resolution, trajs)
-        if verbose:
-            print(f"[{kind}] {int(alive.sum())}/{len(trajs)} alive starts")
+        _phase(f"{int(alive.sum())}/{len(trajs)} alive starts")
         kind_res = {}
 
+        _phase("grr: tracking")
         grr_c, grr_stats = grr_teleop_batch(
             resolution, trajs, q0s, alive, max_change, converge_steps,
             verbose=verbose,
         )
+        _phase("grr: analysis")
         kind_res["grr"] = summarize(analyze_arm(robot, trajs, grr_c))
         stats_out[kind] = {"grr": grr_stats}
 
         if random_resolution is not None:
+            _phase("random_grr: cold starts")
             rq0, ralive = cold_starts(random_resolution, trajs)
+            _phase("random_grr: tracking")
             rand_c, rand_stats = grr_teleop_batch(
                 random_resolution, trajs, rq0, ralive, max_change,
-                converge_steps,
+                converge_steps, verbose=verbose,
             )
+            _phase("random_grr: analysis")
             kind_res["random_grr"] = summarize(analyze_arm(robot, trajs, rand_c))
             stats_out[kind]["random_grr"] = rand_stats
 
+        _phase("newton: tracking")
         newton_c = newton_teleop_batch(
             robot, trajs, q0s, alive, max_change, converge_steps
         )
+        _phase("newton: analysis")
         kind_res["newton"] = summarize(analyze_arm(robot, trajs, newton_c))
 
         if include_relaxed:
+            _phase("relaxed: tracking")
             relaxed_c = relaxed_teleop_batch(
                 robot, trajs, q0s, alive, max_change, converge_steps
             )
+            _phase("relaxed: analysis")
             kind_res["relaxed"] = summarize(analyze_arm(robot, trajs, relaxed_c))
+        _phase("kind done")
 
         results[kind] = kind_res
         if verbose:
