@@ -26,7 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from reconplan_tpu.io.meshio import load_mesh, sample_mesh_surface
-from reconplan_tpu.recon.metrics import chamfer_to_mesh
+from reconplan_tpu.recon.metrics import chamfer_to_mesh, points_to_mesh_distance
 from reconplan_tpu.recon.poisson import poisson_reconstruct
 
 RNG = np.random.default_rng(0)
@@ -71,7 +71,21 @@ def run_bumpy(tag, pts, nrm, depth, **kw):
         f"q95={np.quantile(dist, 0.95)*1000:.3f}mm "
         f"max={dist.max()*1000:.2f}mm {dt:.1f}s"
     )
-    return dist.mean()
+
+    # COVERAGE direction (round-3 verdict: vertex residual alone cannot
+    # see MISSING surface). Dense analytic-surface samples -> exact
+    # point-to-triangle distance to the mesh — floor-free (the mesh is a
+    # continuous surface, not a point cloud), so holes and dropped lobes
+    # surface as a fat q99/max tail and a nonzero gap fraction.
+    cov_pts, _ = bumpy_exact(50000)
+    cd = points_to_mesh_distance(cov_pts, tris)
+    gap = float((cd > 2e-3).mean())
+    print(
+        f"{'':<34} coverage: mean={cd.mean()*1000:.3f}mm "
+        f"q99={np.quantile(cd, 0.99)*1000:.3f}mm "
+        f"max={cd.max()*1000:.2f}mm frac>2mm={gap*100:.2f}%"
+    )
+    return dist.mean(), cd
 
 
 def main():
@@ -99,10 +113,17 @@ def main():
         tris = poisson_reconstruct(bp, bn, depth=args.depth, **kw)
         dt = time.time() - t0
         ch, m2g, g2m = chamfer_to_mesh(tris.reshape(-1, 3), v, f)
+        # coverage direction, floor-free: GT surface samples -> exact
+        # distance to the reconstructed triangles
+        gt_samp, _ = sample_mesh_surface(v, f, 50000, seed=1)
+        cd = points_to_mesh_distance(gt_samp.astype(np.float32), tris)
         print(
             f"{tag:<34} depth={args.depth} tris={len(tris)} "
             f"chamfer={ch*1000:.3f}mm "
-            f"(mesh->gt {m2g*1000:.3f} gt->mesh {g2m*1000:.3f}) {dt:.1f}s"
+            f"(mesh->gt {m2g*1000:.3f} gt->mesh {g2m*1000:.3f}) "
+            f"coverage mean={cd.mean()*1000:.3f}mm "
+            f"q99={np.quantile(cd, 0.99)*1000:.3f}mm "
+            f"frac>2mm={(cd > 2e-3).mean()*100:.2f}% {dt:.1f}s"
         )
 
 

