@@ -22,6 +22,21 @@ BANANA = os.path.join(
 
 
 def main(n_frames=32, dims=(256, 512)):
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from reconplan_tpu.utils.tpu_lock import tpu_lock
+
+    plat = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS") or ""
+    lock = (contextlib.nullcontext() if plat.startswith("cpu")
+            else tpu_lock(name="bench_fusion", wait_secs=600))
+    with lock:
+        return _run(n_frames, dims)
+
+
+def _run(n_frames, dims):
     import jax
     import jax.numpy as jnp
 

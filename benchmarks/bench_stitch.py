@@ -39,6 +39,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        lock = None
+    else:
+        from reconplan_tpu.utils.tpu_lock import tpu_lock
+
+        lock = tpu_lock(name="bench_stitch", wait_secs=600)
+        lock.__enter__()
+        import atexit
+
+        atexit.register(lock.__exit__, None, None, None)
 
     import jax.numpy as jnp  # noqa: F401
 

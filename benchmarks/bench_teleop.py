@@ -57,9 +57,11 @@ def main(argv=None):
     # when a cached executable's recorded target features don't string-match
     # the host enumeration (spurious: "+prefer-no-scatter" is a compile
     # preference, not a host feature) — 38 of them flooded the round-3
-    # n=100 log. The level is read lazily at first C++ log emission, so
-    # setting it here (before any XLA logging) works even though
-    # sitecustomize already imported jax.
+    # n=100 log. NOTE: on this image the axon sitecustomize imports jax at
+    # interpreter start, which latches XLA's C++ min-log-level before any
+    # user code runs — so this in-process setdefault only helps
+    # environments without that hook. For a clean log, LAUNCH with
+    # TF_CPP_MIN_LOG_LEVEL=3 in the shell environment.
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
     import jax

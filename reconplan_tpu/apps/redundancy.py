@@ -67,6 +67,8 @@ def build_roadmap(
     floor_check=None,
     fix_boundary_layers=1,
     fix_boundary_iters=2,
+    repair_edges=True,
+    scrub=False,
 ):
     """Build (or ``resume`` an interrupted build of) a roadmap.
 
@@ -125,6 +127,16 @@ def build_roadmap(
     # iterations/layers repair more of the discontinuous boundary at the
     # cost of extra IK waves
     res.fix_boundary(fix_boundary_layers, fix_boundary_iters)
+    if repair_edges:
+        # targeted cross-seed repair of the edges fix_boundary left
+        # disconnected (documented divergence — see solver.repair_edges)
+        res.solver.repair_edges(verbose=verbose)
+    if scrub:
+        # reference-artifact end-state: 0.0% disconnection by dropping
+        # the configs of unrepairable nodes (the reference's shipped
+        # graphs measure 0.0% because its quality metric only counts
+        # edges between CONFIGURED nodes)
+        res.solver.scrub_disconnected(verbose=verbose)
     res.save_solver_graph(solver_path)
     res.build_resolution_graph_and_nn()
 
@@ -151,6 +163,11 @@ def main(argv=None):
     )
     ap.add_argument("--fix-boundary-layers", type=int, default=1)
     ap.add_argument("--fix-boundary-iters", type=int, default=2)
+    ap.add_argument("--no-repair-edges", action="store_true",
+                    help="skip the targeted cross-seed edge repair pass")
+    ap.add_argument("--scrub", action="store_true",
+                    help="drop configs of unrepairable nodes until 0%% "
+                    "disconnection (the reference artifact's end-state)")
     ap.add_argument(
         "--no-floor-check", action="store_true",
         help="disable the UR10 floor check (reference-ARTIFACT parity: the "
@@ -169,6 +186,8 @@ def main(argv=None):
         floor_check=False if args.no_floor_check else None,
         fix_boundary_layers=args.fix_boundary_layers,
         fix_boundary_iters=args.fix_boundary_iters,
+        repair_edges=not args.no_repair_edges,
+        scrub=args.scrub,
     )
 
 

@@ -191,8 +191,28 @@ class ExpansionSolver:
         q_all = q_all.reshape(B, S, -1)
         # restart seeds are only meaningful where that neighbor exists
         ok_all[:, 1:] &= nbr_mask[:, :n_restarts]
-        first = np.argmax(ok_all, axis=1)
-        q = q_all[np.arange(B), first]
+        # COHERENCE-FIRST selection among the valid candidates: minimal
+        # inverse-square-distance-weighted config distance to the
+        # configured neighbors. Picking the first-converged seed (round
+        # 3) raised configured counts but let a far IK basin win whenever
+        # the averaged seed diverged — the direct cause of the rebuild's
+        # 1.9% residual disconnection and 6.3 rad/m distance ratio vs the
+        # reference artifact's 0.0% / ~4.2 (its single average-seed
+        # projection is coherent by construction, solver.py:227-259).
+        d_pt = np.linalg.norm(
+            pts[:, None, :3] - nbr_pts[..., :3], axis=-1
+        )  # (B, K)
+        w = np.where(nbr_mask, 1.0 / np.maximum(d_pt, 1e-6) ** 2, 0.0)
+        w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)  # (B, K)
+        dq = np.asarray(
+            self.robot.distance_batch(
+                jnp.asarray(q_all[:, :, None, :]), jnp.asarray(nbr_cfg[:, None])
+            )
+        )  # (B, S, K)
+        cost = (dq * w[:, None, :]).sum(axis=2)  # (B, S)
+        cost = np.where(ok_all, cost, np.inf)
+        best = np.argmin(cost, axis=1)
+        q = q_all[np.arange(B), best]
         ok = ok_all.any(axis=1) & nbr_mask.any(axis=1)
         return q, ok
 
@@ -500,6 +520,138 @@ class ExpansionSolver:
                         restored.append(i)
             if restored:
                 self.check_connections(restored)
+
+    # ------------------------------------------------------------------
+    def repair_edges(self, max_rounds=3, verbose=True):
+        """Targeted cross-seed repair of individual disconnected edges.
+
+        For each disconnected edge (i, j) between configured nodes, try
+        re-solving node i's IK seeded from j's config (and vice versa) —
+        basin alignment the destruct-and-rebuild pass can't do, because
+        ``project_neighbors`` always seeds from the blended average
+        (reference ``solver.py:227-259``). A candidate is adopted only if
+        it strictly INCREASES the node's count of connected incident
+        edges (so an existing connection is never traded 1:1 for the
+        repaired one). Goes beyond the reference's fix_boundary
+        (``solver.py:400-493``) — documented divergence."""
+        ws = self.workspace
+        for _round in range(max_rounds):
+            bad = [
+                e for e, (i, j) in enumerate(ws.edges)
+                if not self.edge_connected[e]
+                and self.has_config[i] and self.has_config[j]
+            ]
+            if not bad:
+                return
+            if verbose:
+                print(f"edge repair round {_round + 1}: "
+                      f"{len(bad)} disconnected edges")
+
+            # two candidates per bad edge: (node, cross-seed neighbor)
+            cand_node, pts, seeds = [], [], []
+            for e in bad:
+                i, j = int(ws.edges[e][0]), int(ws.edges[e][1])
+                cand_node.append(i)
+                pts.append(ws.points[i])
+                seeds.append(self.configs[j])
+                cand_node.append(j)
+                pts.append(ws.points[j])
+                seeds.append(self.configs[i])
+            q_new, conv, valid = self._ik_batch(
+                np.asarray(pts, np.float32), np.asarray(seeds, np.float32)
+            )
+            ok = conv & valid
+
+            # one batched continuity check over every (candidate, nbr) pair
+            pair_q1, pair_q2, pair_p1, pair_p2 = [], [], [], []
+            pair_owner = []  # (candidate_idx, neighbor node)
+            for c, n in enumerate(cand_node):
+                if not ok[c]:
+                    continue
+                for m in ws.adjacency[n]:
+                    if self.has_config[m]:
+                        pair_q1.append(q_new[c])
+                        pair_q2.append(self.configs[m])
+                        pair_p1.append(ws.points[n])
+                        pair_p2.append(ws.points[m])
+                        pair_owner.append((c, m))
+            if not pair_owner:
+                return
+            cont = self.is_continuous_batch(
+                np.asarray(pair_q1), np.asarray(pair_q2),
+                np.asarray(pair_p1), np.asarray(pair_p2),
+            )
+            new_connected = {}  # candidate idx -> set of connected nbrs
+            for (c, m), ct in zip(pair_owner, cont):
+                if ct:
+                    new_connected.setdefault(c, set()).add(m)
+
+            # greedy adoption: best candidate per node, strict improvement,
+            # and never adjacent to a node already changed this round (its
+            # continuity was evaluated against the old neighbor config)
+            changed = set()
+            improved = 0
+            order = sorted(
+                new_connected.items(), key=lambda kv: -len(kv[1])
+            )
+            for c, conn in order:
+                n = cand_node[c]
+                if n in changed or changed & set(ws.adjacency[n]):
+                    continue
+                cur = sum(
+                    1 for m in ws.adjacency[n]
+                    if self.has_config[m]
+                    and self.edge_connected[
+                        self._edge_index[(min(n, m), max(n, m))]]
+                )
+                if len(conn) <= cur:
+                    continue
+                self.configs[n] = q_new[c]
+                for m in ws.adjacency[n]:
+                    key = (min(n, m), max(n, m))
+                    self.edge_connected[self._edge_index[key]] = (
+                        self.has_config[m] and m in conn
+                    )
+                changed.add(n)
+                improved += 1
+            if verbose:
+                print(f"  adopted {improved} cross-seeded configs")
+            if not improved:
+                return
+
+    def scrub_disconnected(self, verbose=True):
+        """Remove configs until NO disconnected edge joins two configured
+        nodes — the observable end-state of the reference's shipped
+        artifacts (e.g. ur10 rot_fixed: 2692/3299 configured, 0.0%
+        disconnection — its quality metric only counts edges between
+        configured nodes, ``experiment/roadmap_quality.py:22-35``, so
+        dropping a config converts 'disconnected' into 'unconfigured').
+        Victims are chosen greedily: most disconnected incident edges,
+        tie-broken by fewest connected ones."""
+        ws = self.workspace
+        scrubbed = 0
+        while True:
+            bad_count = np.zeros(ws.num_nodes, dtype=np.int64)
+            good_count = np.zeros(ws.num_nodes, dtype=np.int64)
+            for e, (i, j) in enumerate(ws.edges):
+                if self.has_config[i] and self.has_config[j]:
+                    if self.edge_connected[e]:
+                        good_count[i] += 1
+                        good_count[j] += 1
+                    else:
+                        bad_count[i] += 1
+                        bad_count[j] += 1
+            if bad_count.max() == 0:
+                break
+            worst = np.flatnonzero(bad_count == bad_count.max())
+            victim = worst[np.argmin(good_count[worst])]
+            self.has_config[victim] = False
+            for m in ws.adjacency[victim]:
+                key = (min(int(victim), m), max(int(victim), m))
+                self.edge_connected[self._edge_index[key]] = False
+            scrubbed += 1
+        if verbose and scrubbed:
+            print(f"scrubbed {scrubbed} configs to reach 0% disconnection")
 
     # ------------------------------------------------------------------
     def build_resolution(self):
