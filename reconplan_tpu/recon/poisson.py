@@ -78,7 +78,7 @@ def _trilinear_gather(vol, idx_f):
 
 @partial(jax.jit, static_argnames=("depth",))
 def _poisson_indicator(points, normals, origin, voxel, depth: int,
-                       smooth_sigma=1.5, screen=0.0):
+                       smooth_sigma=0.85, screen=0.0):
     """Solve for the indicator-like field chi on a depth^3 grid.
 
     The normal field is DENSITY-NORMALIZED before the solve: the raw
@@ -95,9 +95,10 @@ def _poisson_indicator(points, normals, origin, voxel, depth: int,
     term attenuates every mode by k2/(k2+alpha); at the default
     screen=4.0 the measured exact-residual cost of that attenuation on
     the bumpy-sphere fixture is < 0.1 mm while it removes the multi-mm
-    low-frequency drift of the pure solve — see the round-3
-    measurements in BASELINE.md (screened 0.40 mm mean vs pure 0.75 mm
-    vs local-iso 0.48 mm).
+    low-frequency drift of the pure solve — round-4 measurements at the
+    sigma=0.85 default (eval_poisson_fidelity.py, depth=128): screened
+    0.174 mm mean / 0.15% coverage gap vs pure 0.256 mm / 1.92% vs
+    local-iso 0.159 mm / 0.96%.
 
     Returns (chi (D, D, D), iso scalar).
     """
@@ -155,10 +156,11 @@ def _sample_iso_field(chi, idx_f, depth: int, iso_sigma_frac=0.08):
     local iso-level b(x). The final field chi - b(x) is zero exactly
     where the surface should pass and the shape spectrum is untouched.
 
-    Measured (round 3, exact analytic residual on the bumpy sphere):
-    local-iso 0.475 mm mean vs screened 0.402 mm, banana Chamfer a tie
-    (0.448 vs 0.453 mm) at ~7x the FFT cost — so screening stays the
-    default and this remains an opt-in for screening-sensitive shapes.
+    Measured (round 4, sigma=0.85, exact analytic residual on the bumpy
+    sphere at depth=128): local-iso 0.159 mm mean / 0.96% coverage gap
+    vs screened 0.174 mm / 0.15%, banana Chamfer a tie, at ~5x the FFT
+    cost — so screening stays the default (best two-sided coverage) and
+    this remains an opt-in for screening-sensitive shapes.
     """
     D = depth
     chi_s = _trilinear_gather(chi, idx_f)  # (N,)
@@ -181,7 +183,8 @@ def _sample_iso_field(chi, idx_f, depth: int, iso_sigma_frac=0.08):
 
 
 def poisson_reconstruct(points, normals, depth=128, padding=0.2,
-                        return_grid=False, screen=4.0, local_iso=False):
+                        return_grid=False, screen=4.0, local_iso=False,
+                        smooth_sigma=0.85):
     """Reconstruct a triangle mesh from an oriented point cloud.
 
     Args:
@@ -199,6 +202,16 @@ def poisson_reconstruct(points, normals, depth=128, padding=0.2,
             an alternative low-frequency fix that leaves the shape
             spectrum untouched (slower; see the measured comparison in
             that function's docstring).
+        smooth_sigma: Gaussian pre-smoothing width of the splatted
+            normal field, in VOXELS. Round 4's two-sided fidelity sweep
+            (benchmarks/eval_poisson_fidelity.py + the coverage metric)
+            showed the old 1.5-voxel default was the dominant error
+            source — it washed out deep concave valleys (bumpy-sphere
+            exact residual 0.402 mm mean with a 4.9% >2 mm coverage-gap
+            tail at depth=128; sigma=0.85 measures 0.18 mm / 0.33% and
+            the banana Chamfer improves 0.453 -> ~0.43 mm with a 0.00%
+            gap). Below ~0.7 the residual rises again as splat noise
+            leaks through.
 
     Returns triangles (T, 3, 3) world-space (and the grid if requested).
     """
@@ -217,6 +230,7 @@ def poisson_reconstruct(points, normals, depth=128, padding=0.2,
         jnp.asarray(origin, dtype=jnp.float32),
         jnp.float32(voxel),
         depth,
+        smooth_sigma=smooth_sigma,
         screen=screen,
     )
     # With the indicator convention chi=1 inside and OUTWARD normals n, the
