@@ -13,7 +13,10 @@ Usage: python benchmarks/eval_poisson_fidelity.py [--depth 128]
 """
 import argparse
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # session env presets JAX_PLATFORMS=axon; setdefault would leave this
 # eval running over the TPU tunnel — force the CPU override

@@ -133,6 +133,7 @@ def run_scan(
     n_roadmap_nodes=500,
     n_arcs=1,
     rotation_type=None,
+    engine=None,  # "brick" | "dense" | None = brick on TPU, dense on CPU
     verbose=True,
 ):
     """Closed-loop scan-plan-capture-reconstruct (``main.py`` parity).
@@ -277,11 +278,18 @@ def run_scan(
 
     if reconstruct in ("fuse", "both"):
         t0 = time.time()
+        if engine is None:
+            # the Pallas brick kernel needs a real TPU (CPU would run the
+            # Mosaic interpreter); the dense XLA path is the CPU fallback
+            import jax as _jax
+
+            engine = "brick" if _jax.default_backend() != "cpu" else "dense"
         pipe = FusionPipeline(
             dims=(grid_dim,) * 3,
             origin=(OBJECT_POINT[0] - 0.15, OBJECT_POINT[1] - 0.15, -0.05),
             voxel_size=0.3 / (grid_dim - 1),
             with_color=True,
+            engine=engine,
         )
         with timer.stage("fuse"):
             pipe.integrate(frames)
@@ -350,6 +358,10 @@ def main(argv=None):
                     help="scan arcs at rotated azimuths (1 = reference demo)")
     ap.add_argument("--rotation-type", default=None,
                     help="GRR problem variant (default: infer from roadmap)")
+    ap.add_argument("--engine", default=None, choices=["brick", "dense"],
+                    help="TSDF engine (default: brick on TPU, dense on CPU)")
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force a JAX backend (cpu enables host-only runs)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace to DIR "
                     "(view with tensorboard --logdir DIR)")
@@ -357,7 +369,14 @@ def main(argv=None):
     from reconplan_tpu.utils.profiling import maybe_trace
     from reconplan_tpu.utils.tpu_lock import tpu_lock
 
+    if args.platform == "cpu":
+        # session env presets JAX_PLATFORMS=axon; force the override
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # one-tunnel-client-at-a-time discipline: hold the pidfile for the
     # whole scan when this process will dial the TPU (the tunnel
@@ -384,6 +403,7 @@ def main(argv=None):
             grid_dim=args.grid,
             n_arcs=args.arcs,
             rotation_type=args.rotation_type,
+            engine=args.engine,
         )
 
 
