@@ -145,6 +145,9 @@ def main(argv=None):
             random_resolution=random_res,
             include_relaxed=not args.no_relaxed,
             verbose=True,
+            # crash/timeout insurance: finished kinds land on disk as
+            # they complete (the full protocol runs for hours)
+            checkpoint_path=(args.out + ".partial") if args.out else None,
         )
         print(f"\nbatched benchmark wall time: {time.time()-t0:.1f}s")
     else:

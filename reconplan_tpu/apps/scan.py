@@ -134,6 +134,8 @@ def run_scan(
     n_arcs=1,
     rotation_type=None,
     engine=None,  # "brick" | "dense" | None = brick on TPU, dense on CPU
+    close_mesh=True,  # Poisson-close the open TSDF mesh (see below)
+    close_depth=192,  # Poisson grid resolution for the closing pass
     verbose=True,
 ):
     """Closed-loop scan-plan-capture-reconstruct (``main.py`` parity).
@@ -185,17 +187,22 @@ def run_scan(
             )
         ]
     else:
-        # measured coverage schedule (512^3 Chamfer sweep, variant D:
-        # 0.544 mm vs 1.64 mm single-arc): closer (r=0.25, within UR10
-        # reach at every azimuth) arcs fanned 45 deg apart, plus two low
-        # (0.06 m) arcs for the flanks the reference arc misses.
-        offsets = [0, 45, -45, -90, 90, -135, 135, 180]
+        # measured coverage schedule (round-4 viewpoint-coverage probe,
+        # gt->observation distance binned by height): alternating MID
+        # (r=0.25, h=0.10) and LOW grazing (r=0.22, h=0.035) arcs with
+        # azimuths spread over the full 360 deg. vs the round-3 fan
+        # (45-deg offsets, lowest h=0.06) this halves the near-table
+        # band's misses (z<8 mm: 9.0% -> 4.8% of GT samples >2 mm from
+        # any observation; overall 3.4% -> 2.7%) — the residual low-band
+        # tail is the physically unobservable underside, which the
+        # Poisson closing pass below handles.
         arcs = [
             scan_arc(
-                OBJECT_POINT, radius=0.25,
-                height=0.10 if a < 4 else 0.06,
+                OBJECT_POINT,
+                radius=0.25 if a % 2 == 0 else 0.22,
+                height=0.10 if a % 2 == 0 else 0.035,
                 num_points=per_arc,
-                azimuth=base_az + np.deg2rad(offsets[a % len(offsets)]),
+                azimuth=base_az + a * 2 * np.pi / n_arcs,
                 max_horiz=1.03,  # stay inside the UR10 look-at reach
             )
             for a in range(n_arcs)
@@ -311,6 +318,71 @@ def run_scan(
                     f"fused mesh Chamfer vs GT: {ch*1000:.3f} mm "
                     f"(mesh->gt {ab*1000:.3f}, gt->mesh {ba*1000:.3f})"
                 )
+    if close_mesh:
+        # Poisson-closed watertight mesh: the TSDF marching-cubes mesh
+        # only emits surface where voxels were OBSERVED (weight >= 1),
+        # so the object's underside — unobservable from any above-floor
+        # camera — is an open hole that gt->mesh Chamfer pays several mm
+        # for. Screened-Poisson reconstruction (recon/poisson.py)
+        # extrapolates a smooth closure. Input = the raw BACKPROJECTED
+        # observation cloud with camera-oriented covariance normals, NOT
+        # the MC mesh vertices: MC staircase normals at voxel scale are
+        # noisy enough to swell the solve (measured 2.17 mm vs GT from
+        # MC input at 256^3; observation input reconstructs the banana
+        # at the ~0.4 mm class of eval_poisson_fidelity.py).
+        t0 = time.time()
+        from reconplan_tpu.ops.pointcloud import (
+            backproject_depth, estimate_normals, make_cloud,
+        )
+        from reconplan_tpu.recon.poisson import poisson_reconstruct
+
+        obs_pts, obs_cam = [], []
+        for i in range(len(frames.depth)):
+            cl = backproject_depth(
+                jnp.asarray(frames.depth[i]),
+                D435["fx"], D435["fy"], D435["cx"], D435["cy"],
+                depth_scale=frames.depth_scale or 1000.0,
+            )
+            p = np.asarray(cl.points)[np.asarray(cl.valid).astype(bool)]
+            T = np.asarray(frames.poses[i])
+            obs_pts.append((p @ T[:3, :3].T + T[:3, 3]).astype(np.float32))
+            obs_cam.append(
+                np.broadcast_to(T[:3, 3].astype(np.float32), p.shape)
+            )
+        obs = np.concatenate(obs_pts)
+        cams = np.concatenate(obs_cam)
+        # 80k samples: enough for the ~0.4 mm Poisson class on the banana
+        # (eval_poisson_fidelity uses 60k) while keeping the O(N^2)
+        # normal-estimation kNN tractable on every backend
+        if len(obs) > 80_000:
+            pick_o = np.random.default_rng(0).choice(
+                len(obs), 80_000, replace=False
+            )
+            obs, cams = obs[pick_o], cams[pick_o]
+        with timer.stage("poisson_close"):
+            ncl = estimate_normals(make_cloud(jnp.asarray(obs)), k=16)
+            nrm = np.array(ncl.normals)  # writable copy (asarray of a
+            # jax buffer is read-only)
+            # orient toward each point's OWN camera (estimate_normals
+            # orients toward the origin, which is the robot base here)
+            flip = np.sum(nrm * (cams - obs), axis=-1) < 0
+            nrm[flip] = -nrm[flip]
+            closed = np.asarray(
+                poisson_reconstruct(obs, nrm.astype(np.float32),
+                                    depth=close_depth)
+            )
+        save_ply(os.path.join(out_dir, "closed_mesh.ply"), triangles=closed)
+        ch, ab, ba = chamfer_to_mesh(closed.reshape(-1, 3), gt_v, gt_f)
+        results["closed_chamfer_mm"] = ch * 1000
+        results["closed_chamfer_ab_mm"] = ab * 1000
+        results["closed_chamfer_ba_mm"] = ba * 1000
+        if verbose:
+            print(
+                f"Poisson-closed mesh ({time.time()-t0:.1f}s, "
+                f"{len(closed)} triangles, {len(obs)} obs points) "
+                f"Chamfer vs GT: {ch*1000:.3f} mm "
+                f"(mesh->gt {ab*1000:.3f}, gt->mesh {ba*1000:.3f})"
+            )
 
     if reconstruct in ("stitch", "both"):
         t0 = time.time()
@@ -360,6 +432,10 @@ def main(argv=None):
                     help="GRR problem variant (default: infer from roadmap)")
     ap.add_argument("--engine", default=None, choices=["brick", "dense"],
                     help="TSDF engine (default: brick on TPU, dense on CPU)")
+    ap.add_argument("--no-close", action="store_true",
+                    help="skip the Poisson closing pass after TSDF+MC")
+    ap.add_argument("--close-depth", type=int, default=192,
+                    help="Poisson grid resolution of the closing pass")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force a JAX backend (cpu enables host-only runs)")
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -404,6 +480,8 @@ def main(argv=None):
             n_arcs=args.arcs,
             rotation_type=args.rotation_type,
             engine=args.engine,
+            close_mesh=not args.no_close,
+            close_depth=args.close_depth,
         )
 
 

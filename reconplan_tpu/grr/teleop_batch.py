@@ -33,6 +33,7 @@ Solver-arm semantics are the reference's, quirks included:
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -1144,11 +1145,17 @@ def run_reference_benchmark(
     max_change=0.04,
     converge_steps=100,
     verbose=True,
+    checkpoint_path=None,
 ):
     """All arms x all kinds at the reference protocol, ticks batched.
 
     ``trajectories_by_kind``: {kind: list of (T, D) paths}. Returns
     {kind: {arm: summary}} plus per-arm GRR fallback statistics.
+
+    ``checkpoint_path``: write the accumulated {kind: {arm: summary}}
+    JSON after EVERY completed kind — the full protocol runs for hours
+    (5.3 h measured for kinova n=100 on one CPU core, longer for ur10),
+    and a crash/timeout must not lose the finished kinds.
     """
     robot = resolution.robot
     results = {}
@@ -1207,6 +1214,14 @@ def run_reference_benchmark(
         _phase("kind done")
 
         results[kind] = kind_res
+        if checkpoint_path:
+            import json
+
+            tmp = f"{checkpoint_path}.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"results": results, "complete": False}, f,
+                          indent=1)
+            os.replace(tmp, checkpoint_path)
         if verbose:
             for arm, row in kind_res.items():
                 if row:
