@@ -46,6 +46,13 @@ def main(argv=None):
                     "(teleop_batch.py); host = reference-shaped per-"
                     "trajectory loop")
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument("--kinds", default=",".join(KINDS),
+                    help="comma-separated trajectory kinds, in run order "
+                    "(lets a resumed run front-load the unfinished kinds)")
+    ap.add_argument("--resume", action="store_true",
+                    help="load <out>.partial (written after every finished "
+                    "kind) and skip kinds already present — crash recovery "
+                    "for the multi-hour full protocol")
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                     help="cpu = host backend (safe anywhere); tpu = default "
                     "device — the batch engine amortizes the tunnel RPC "
@@ -133,11 +140,20 @@ def main(argv=None):
         # what makes the reference's 100/kind protocol tractable
         from reconplan_tpu.grr.teleop_batch import run_reference_benchmark
 
+        kinds = [k.strip() for k in args.kinds.split(",") if k.strip()]
+        initial = None
+        if args.resume and args.out and os.path.exists(args.out + ".partial"):
+            with open(args.out + ".partial") as f:
+                initial = json.load(f).get("results") or None
+            if initial:
+                print(f"resuming: {sorted(k for k, v in initial.items() if v)}"
+                      " already complete in checkpoint")
         by_kind = {
-            kind: generate_trajectories(
-                robot, kind=kind, n_trajectories=args.per_kind, seed=7
-            )
-            for kind in KINDS
+            kind: ([] if (initial and initial.get(kind)) else
+                   generate_trajectories(
+                       robot, kind=kind, n_trajectories=args.per_kind, seed=7
+                   ))
+            for kind in kinds
         }
         t0 = time.time()
         all_results, fallback_stats = run_reference_benchmark(
@@ -148,6 +164,7 @@ def main(argv=None):
             # crash/timeout insurance: finished kinds land on disk as
             # they complete (the full protocol runs for hours)
             checkpoint_path=(args.out + ".partial") if args.out else None,
+            initial_results=initial,
         )
         print(f"\nbatched benchmark wall time: {time.time()-t0:.1f}s")
     else:

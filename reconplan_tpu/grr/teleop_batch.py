@@ -1146,6 +1146,7 @@ def run_reference_benchmark(
     converge_steps=100,
     verbose=True,
     checkpoint_path=None,
+    initial_results=None,
 ):
     """All arms x all kinds at the reference protocol, ticks batched.
 
@@ -1156,11 +1157,21 @@ def run_reference_benchmark(
     JSON after EVERY completed kind — the full protocol runs for hours
     (5.3 h measured for kinova n=100 on one CPU core, longer for ur10),
     and a crash/timeout must not lose the finished kinds.
+
+    ``initial_results``: {kind: {arm: summary}} from a prior partial
+    run (a ``checkpoint_path`` dump) — kinds already present are
+    skipped, so a killed multi-hour run resumes at the first
+    unfinished kind instead of repaying the finished ones.
     """
     robot = resolution.robot
-    results = {}
+    results = dict(initial_results) if initial_results else {}
     stats_out = {}
     for kind, trajs in trajectories_by_kind.items():
+        if results.get(kind):
+            if verbose:
+                print(f"[{kind}] resumed from checkpoint, skipping",
+                      flush=True)
+            continue
         if not trajs:
             results[kind] = {}
             continue
