@@ -31,6 +31,30 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu")
     ap.add_argument("--arcs", type=int, default=4)
+    ap.add_argument(
+        "--no-floor", action="store_true",
+        help="round-3 scene (lone banana, no tabletop): reproduces the "
+        "pose-seeded 1.9 mm full-GT row; pose-free is ill-posed here",
+    )
+    ap.add_argument("--capacity", type=int, default=1 << 16,
+                    help="stitcher model buffer capacity (the floor scene "
+                    "occupies ~31.6k voxels at 4 mm under perfect "
+                    "registration; noise shells need headroom)")
+    ap.add_argument("--frame-capacity", type=int, default=1 << 14,
+                    help="per-frame downsample buffer (one frustum sees "
+                    "<=~12k voxels at 4 mm)")
+    ap.add_argument("--arms", default="pose-seeded,pose-free",
+                    help="comma list: pose-seeded,pose-free")
+    ap.add_argument("--outlier-std", type=float, default=4.0,
+                    help="statistical-outlier std ratio. The global "
+                    "statistic is set by the dense floor; 2.0 (the "
+                    "single-object default) scrubs ~40%% of the object's "
+                    "rim/tip voxels in the tabletop scene")
+    ap.add_argument("--fpb", type=int, default=2,
+                    help="frames per lax.scan block. On the axon tunnel "
+                    "a single multi-minute dispatch can kill the TPU "
+                    "worker; short blocks keep per-dispatch time in the "
+                    "~10 s range (RPC overhead is ~30 ms/dispatch)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -55,12 +79,19 @@ def main(argv=None):
     from reconplan_tpu.grr.paths import scan_arc
     from reconplan_tpu.io.meshio import load_mesh
     from reconplan_tpu.io.render import SplatCamera
-    from reconplan_tpu.recon.metrics import chamfer_to_mesh
+    from reconplan_tpu.io.meshio import sample_mesh_surface
+    from reconplan_tpu.recon.metrics import chamfer_distance, chamfer_to_mesh
     from reconplan_tpu.recon.stitcher import PinholeIntrinsic, RGBDStitcher
 
     # ---- capture a multi-arc orbit (the flank-covering scan protocol) ----
     cam = SplatCamera(**D435)
     cam.add_mesh_file(BANANA_MESH, translate=OBJECT_POINT)
+    # reference-parity scene context: the table under the object
+    # (main.py:310-317 builds a floor; the real capture sees the
+    # tabletop). Without it the lone smooth banana is ICP-ambiguous and
+    # pose-free registration is ill-posed by construction.
+    if not args.no_floor:
+        cam.add_checker_floor(center=OBJECT_POINT[:2], size=0.5)
     per_arc = args.frames // args.arcs
     offsets = [0, 45, -45, -90]
     eyes = np.concatenate(
@@ -90,7 +121,11 @@ def main(argv=None):
         st = RGBDStitcher(PinholeIntrinsic(640, 480, **D435))
         st.voxel_size = 0.004
         st.distance_threshold = 0.02
-        st.model_capacity = 8192
+        st.model_capacity = args.capacity
+        st.frame_capacity = args.frame_capacity
+        st.frames_per_block = args.fpb
+        st.block_verbose = True
+        st.outlier_std_ratio = args.outlier_std
         t0 = time.time()
         cloud = st.stitch_sequence(
             colors, depths, poses=poses if use_poses else None
@@ -102,16 +137,51 @@ def main(argv=None):
             # of frame 0 (evaluation only)
             T0 = poses[0]
             pts = pts @ T0[:3, :3].T + T0[:3, 3]
-        ch, ab, ba = chamfer_to_mesh(pts, gt_v, gt_f)
+        if args.no_floor:
+            ch, ab, ba = chamfer_to_mesh(pts, gt_v, gt_f)
+        else:
+            # floor scene: evaluate the OBJECT only. Crop the cloud to
+            # the GT bbox (+1 cm) above the table plane, and restrict
+            # the gt->cloud direction to the OBSERVABLE surface (above
+            # the floor-contact band — a tabletop occludes the underside
+            # for every camera, in ours and in the reference's real
+            # captures alike). Same convention for both arms.
+            lo = gt_v.min(axis=0) - 0.01
+            hi = gt_v.max(axis=0) + 0.01
+            keep = (
+                (pts[:, 2] > 0.006)
+                & np.all((pts > lo) & (pts < hi), axis=1)
+            )
+            pts = pts[keep]
+            surf, _ = sample_mesh_surface(gt_v, gt_f, 200_000, seed=0)
+            surf = surf.astype(np.float32)
+            vis = surf[:, 2] > 0.010
+            _, ab, _ = chamfer_distance(pts, surf)
+            _, _, ba = chamfer_distance(pts, surf[vis])
+            ab, ba = float(ab), float(ba)
+            ch = 0.5 * (ab + ba)
         print(
             f"{tag:<12} chamfer {ch*1000:.3f} mm "
-            f"(cloud->gt {ab*1000:.3f}, gt->cloud {ba*1000:.3f})  "
+            f"(cloud->gt {ab*1000:.3f}, gt->cloud(vis) {ba*1000:.3f})  "
             f"{len(pts)} pts  {dt:.1f}s"
         )
+        if not use_poses and getattr(st, "last_scores", None) is not None:
+            s = st.last_scores
+            rescued = int((s[:, 1] > s[:, 0] + 1e-6).sum())
+            dropped = int((s[:, 1] < st.integrate_score_floor).sum())
+            print(
+                f"  scores: chained min/mean {s[:, 0].min():.2f}/"
+                f"{s[:, 0].mean():.2f}  accepted min/mean "
+                f"{s[:, 1].min():.2f}/{s[:, 1].mean():.2f}  "
+                f"rescued {rescued}  dropped {dropped}"
+            )
         return ch
 
-    run("pose-seeded", True)
-    run("pose-free", False)
+    arms = [a.strip() for a in args.arms.split(",") if a.strip()]
+    if "pose-seeded" in arms:
+        run("pose-seeded", True)
+    if "pose-free" in arms:
+        run("pose-free", False)
 
 
 if __name__ == "__main__":

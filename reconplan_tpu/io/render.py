@@ -136,6 +136,44 @@ class SplatCamera:
         v, f = load_mesh(path)
         return self.add_mesh(v, f, **kwargs)
 
+    def add_checker_floor(self, center=(0.0, 0.0), size=0.5, tiles=8,
+                          z=0.0, samples_per_tile=4000, seed=3):
+        """Add a floor patch of randomly-colored tiles around ``center``.
+
+        The reference scene always has a table under the object
+        (``main.py:310-317`` builds a floor; the real captures see the
+        tabletop): that planar + textured context is what makes its
+        pose-free sequential registration well-posed. A lone smooth
+        object (the banana) is near-ambiguous for ICP. Tile colors are
+        RANDOM (not a 2-color checkerboard): a checkerboard is
+        180-degree rotationally symmetric, which leaves global
+        (re-)registration a perfect wrong optimum.
+        """
+        cx, cy = center
+        tile = size / tiles
+        x0, y0 = cx - size / 2, cy - size / 2
+        quad_f = np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int32)
+        palette = np.random.RandomState(seed).uniform(
+            0.15, 0.85, (tiles, tiles, 3)
+        )
+        for i in range(tiles):
+            for j in range(tiles):
+                xa, ya = x0 + i * tile, y0 + j * tile
+                v = np.array(
+                    [
+                        [xa, ya, z],
+                        [xa + tile, ya, z],
+                        [xa + tile, ya + tile, z],
+                        [xa, ya + tile, z],
+                    ],
+                    dtype=np.float64,
+                )
+                self.add_mesh(
+                    v, quad_f, color=palette[i, j],
+                    samples=samples_per_tile,
+                )
+        return self
+
     def take_picture(self, eye, target):
         """Render from ``eye`` looking at ``target``.
 

@@ -78,15 +78,25 @@ def fpfh(cloud: PointCloud, k: int = 32):
 
 @partial(jax.jit, static_argnames=("n_hypotheses",))
 def _ransac_core(src_pts, dst_pts, corr_idx, corr_valid, key,
-                 inlier_threshold, n_hypotheses):
+                 inlier_threshold, n_hypotheses,
+                 src_cols=None, dst_cols=None, color_threshold=0.25):
     from reconplan_tpu.ops.icp import register_kabsch
 
-    N = src_pts.shape[0]
-    # sample 3 correspondence indices per hypothesis
+    # color-gate the correspondences when both clouds carry colors: on
+    # repetitive/featureless geometry (a tabletop plane) FPFH matches are
+    # arbitrary, but color agreement keeps only tile-to-same-tile pairs
+    if src_cols is not None and dst_cols is not None:
+        cdist = jnp.linalg.norm(src_cols - dst_cols[corr_idx], axis=-1)
+        corr_valid = corr_valid & (cdist < color_threshold)
+    # sample 3 correspondence indices per hypothesis, biased to VALID
+    # correspondences (uniform over all slots wasted ~90% of hypotheses
+    # on padded/non-mutual rows when the valid fraction was low)
     keys = jax.random.split(key, n_hypotheses)
+    logits = jnp.where(corr_valid, 0.0, -1e9)
+    any_valid = jnp.any(corr_valid)
 
     def hypothesis(k):
-        sel = jax.random.randint(k, (3,), 0, N)
+        sel = jax.random.categorical(k, logits, shape=(3,))
         T = register_kabsch(
             src_pts[sel], dst_pts[corr_idx[sel]],
             corr_valid[sel].astype(jnp.float32) + 1e-3,
@@ -98,7 +108,12 @@ def _ransac_core(src_pts, dst_pts, corr_idx, corr_valid, key,
 
     Ts, scores = jax.vmap(hypothesis)(keys)
     best = jnp.argmax(scores)
-    return Ts[best], scores[best]
+    # no valid correspondences at all -> identity with score 0, never a
+    # categorical over all -1e9 logits silently picking slot 0
+    return (
+        jnp.where(any_valid, Ts[best], jnp.eye(4, dtype=Ts.dtype)),
+        jnp.where(any_valid, scores[best], 0),
+    )
 
 
 def ransac_global_registration(
@@ -120,10 +135,12 @@ def ransac_global_registration(
 
     from reconplan_tpu.ops.nn import nearest_neighbor
 
-    _, fwd = nearest_neighbor(source_features, target_features)
+    _, fwd = nearest_neighbor(source_features, target_features,
+                              valid=jnp.asarray(target.valid))
     corr_valid = jnp.asarray(source.valid)
     if mutual:
-        _, bwd = nearest_neighbor(target_features, source_features)
+        _, bwd = nearest_neighbor(target_features, source_features,
+                                  valid=jnp.asarray(source.valid))
         mutual_ok = jnp.arange(source.points.shape[0]) == bwd[fwd]
         corr_valid = corr_valid & mutual_ok
     T, score = _ransac_core(

@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 from reconplan_tpu.io.frames import load_rgbd_folder
 from reconplan_tpu.ops.icp import (
     color_gradients,
@@ -61,6 +63,20 @@ class RGBDStitcher:
         # trust region for pose-seeded registration (see stitch_sequence)
         self.pose_trust_trans = 0.01  # meters
         self.pose_trust_rot = 0.05  # radians
+        # pose-free: tight-threshold score below this triggers the
+        # FPFH+RANSAC global re-initialization (a well-locked frame puts
+        # most of its points within 1.5 voxels of the model)
+        self.global_rescue_score = 0.6
+        # pose-free: frames whose best registration (chained OR rescued)
+        # scores below this are NOT integrated and do NOT advance the
+        # odometry chain — one unlocked frame written into the model
+        # poisons every later registration against it. Well-locked frames
+        # score >=0.75 on the scan fixture; spurious RANSAC optima ~0.4.
+        self.integrate_score_floor = 0.55
+        # independent RANSAC draws per rescue: a single unlucky draw can
+        # land a spurious plane-on-plane optimum; the best post-refine
+        # tight score across tries picks the real lock
+        self.global_rescue_tries = 3
 
     # ------------------------------------------------------------------
     def create_point_cloud_from_rgbd(self, color_img, depth_img) -> PointCloud:
@@ -118,6 +134,66 @@ class RGBDStitcher:
             src, tgt, self.distance_threshold, init=T, max_iteration=30
         )
         return res.transformation, res.fitness
+
+    def _tight_score_j(self, cloud: PointCloud, model: PointCloud, T):
+        """Fraction of cloud points within 1.5 voxels of the model after
+        T — a registration-quality score that, unlike ICP fitness at the
+        loose ``distance_threshold``, collapses for wrong-but-overlapping
+        poses (smooth objects let ICP lock confidently onto the wrong
+        side)."""
+        from reconplan_tpu.ops.nn import nearest_neighbor
+
+        moved = (
+            jnp.matmul(cloud.points, T[:3, :3].T, precision=_HI) + T[:3, 3]
+        )
+        d, idx = nearest_neighbor(moved, model.points, valid=model.valid)
+        close = (d < 1.5 * self.voxel_size) & cloud.valid
+        if cloud.has_colors and model.has_colors:
+            # geometry alone cannot reject a symmetric wrong pose (a
+            # plane aligns with its own 180-degree flip); color must
+            # agree too
+            cdist = jnp.linalg.norm(
+                cloud.colors - model.colors[idx], axis=-1
+            )
+            close = close & (cdist < 0.25)
+        return jnp.sum(close) / jnp.maximum(jnp.sum(cloud.valid), 1)
+
+    def _global_init_j(self, source: PointCloud, target: PointCloud,
+                       key=None):
+        """Traceable FPFH + RANSAC global initialization (no prior pose).
+
+        The reference computed FPFH in ``stitcher.py:67-69`` but never
+        used it; its pose-free route chains colored-ICP from identity
+        (``stitcher.py:73-112``), which only works for video-dense
+        captures. This supplies the missing global stage so a pose-free
+        stitch survives large viewpoint jumps (e.g. the multi-arc scan
+        protocol's 45-135 deg arc transitions).
+        """
+        from reconplan_tpu.ops.features import _ransac_core, fpfh
+        from reconplan_tpu.ops.nn import nearest_neighbor
+
+        src = estimate_normals(
+            voxel_downsample(source, 2.0 * self.voxel_size), k=30
+        )
+        tgt = estimate_normals(
+            voxel_downsample(target, 2.0 * self.voxel_size), k=30
+        )
+        fs = fpfh(src, k=32)
+        ft = fpfh(tgt, k=32)
+        _, fwd = nearest_neighbor(fs, ft, valid=tgt.valid)
+        _, bwd = nearest_neighbor(ft, fs, valid=src.valid)
+        mutual = jnp.arange(src.points.shape[0]) == bwd[fwd]
+        corr_valid = src.valid & mutual & tgt.valid[fwd]
+        both_col = src.has_colors and tgt.has_colors
+        T, _score = _ransac_core(
+            src.points, tgt.points, fwd, corr_valid,
+            jax.random.PRNGKey(0) if key is None else key,
+            inlier_threshold=3.0 * self.voxel_size,
+            n_hypotheses=1024,
+            src_cols=src.colors if both_col else None,
+            dst_cols=tgt.colors if both_col else None,
+        )
+        return T
 
     def register_point_clouds(self, source: PointCloud, target: PointCloud,
                               initial_transform=None):
@@ -239,38 +315,112 @@ class RGBDStitcher:
             use_pose = poses is not None
 
             def step(carry, inp):
-                model, overflow, i, T_prev = carry
+                model, overflow, i, T_prev, T_prev2 = carry
                 depth_i, color_i, init = inp
                 if not use_pose:
-                    # pose-free capture: seed registration from the
-                    # PREVIOUS frame's solved camera transform (sequential
-                    # odometry chaining). Identity seeds only work for the
-                    # first few frames of an orbit — once the camera has
-                    # moved beyond ICP's capture basin every later frame
-                    # would fail to lock onto the model.
-                    init = T_prev
+                    # pose-free capture: constant-velocity seed — predict
+                    # this frame's transform by extrapolating the last
+                    # step's camera motion, T_prev @ (T_prev2^-1 T_prev).
+                    # Raw previous-pose chaining only works when frames
+                    # are video-dense; an orbiting scan moves ~10-25 deg
+                    # per frame, which a same-pose seed cannot bridge.
+                    R2, t2 = T_prev2[:3, :3], T_prev2[:3, 3]
+                    inv2 = (
+                        jnp.eye(4, dtype=T_prev2.dtype)
+                        .at[:3, :3].set(R2.T)
+                        .at[:3, 3].set(-jnp.matmul(R2.T, t2, precision=_HI))
+                    )
+                    init = jnp.matmul(
+                        T_prev,
+                        jnp.matmul(inv2, T_prev, precision=_HI),
+                        precision=_HI,
+                    )
                 current_full = self.create_point_cloud_from_rgbd(
                     color_i if has_col else None, depth_i
                 )
-                # compact the frame to model capacity BEFORE registration:
+                # compact the frame to a fixed buffer BEFORE registration:
                 # every downstream stage (normals kNN, downsample sorts,
-                # ICP correspondence) then runs on cap-sized clouds
+                # ICP correspondence) then runs on fixed-size clouds
                 # instead of the raw 307k-pixel cloud — the raw-sized
                 # per-frame program inside one lax.scan was big enough to
-                # crash the TPU worker at 32 frames
+                # crash the TPU worker at 32 frames. The frame buffer is
+                # sized independently of the model: one frustum sees far
+                # fewer voxels than the whole scene, and ICP's pairwise
+                # cost is frame_slots x model_cap.
+                fcap = int(getattr(self, "frame_capacity", 0)) or cap
                 down = voxel_downsample(current_full, self.voxel_size)
-                (cidx,) = jnp.nonzero(down.valid, size=cap, fill_value=0)
+                (cidx,) = jnp.nonzero(down.valid, size=fcap, fill_value=0)
                 ccount = jnp.sum(down.valid)
                 overflow = jnp.maximum(
-                    overflow, (ccount - cap).astype(jnp.int32)
+                    overflow, (ccount - fcap).astype(jnp.int32)
                 )
                 current = PointCloud(
                     down.points[cidx],
-                    jnp.arange(cap) < ccount,
+                    jnp.arange(fcap) < ccount,
                     down.colors[cidx] if down.has_colors else down.colors,
                     down.normals[cidx] if down.has_normals else down.normals,
                 )
                 T, fit = self._register_j(current, model, init)
+                integrate = jnp.bool_(True)
+                s1 = s_best = jnp.float32(1.0)
+                if not use_pose:
+                    # odometry chaining breaks when the camera jumps
+                    # beyond ICP's capture basin (arc transitions in the
+                    # multi-arc scan protocol), and on smooth objects the
+                    # broken solve can still report HIGH loose-threshold
+                    # fitness (confidently locked to the wrong side) — so
+                    # gate on the tight-threshold score instead, and
+                    # re-solve from an FPFH+RANSAC global initialization
+                    # when it collapses. The global candidate must beat
+                    # the chained one by a margin: near-symmetric objects
+                    # make feature matching ambiguous, and the chained
+                    # seed carries a motion prior the score should not
+                    # discard on noise.
+                    s1 = self._tight_score_j(current, model, T)
+
+                    def _rescue(args):
+                        T0, fit0, s0 = args
+                        keys = jax.random.split(
+                            jax.random.fold_in(jax.random.PRNGKey(17), i),
+                            self.global_rescue_tries,
+                        )
+
+                        def body(best, kk):
+                            Tb, fitb, sb = best
+                            Tg = self._global_init_j(current, model, key=kk)
+                            Tr, fitr = self._register_j(current, model, Tg)
+                            sr = self._tight_score_j(current, model, Tr)
+                            take = sr > sb
+                            return (
+                                jnp.where(take, Tr, Tb),
+                                jnp.where(take, fitr, fitb),
+                                jnp.maximum(sr, sb),
+                            ), None
+
+                        (Tg_b, fitg_b, sg_b), _ = jax.lax.scan(
+                            body, (T0, fit0, jnp.float32(0.0)), keys
+                        )
+                        better = sg_b > s0 * 1.15
+                        return (
+                            jnp.where(better, Tg_b, T0),
+                            jnp.where(better, fitg_b, fit0),
+                            jnp.where(better, sg_b, s0),
+                        )
+
+                    T, fit, s_best = jax.lax.cond(
+                        s1 < self.global_rescue_score,
+                        _rescue,
+                        lambda args: args,
+                        (T, fit, s1),
+                    )
+                    # neither the chained nor the rescued registration
+                    # locked: drop the frame (never integrate an unlocked
+                    # frame — it poisons the model) and hold the odometry
+                    # chain at its last locked state so the next frame
+                    # re-extrapolates from a sane pose.
+                    integrate = s_best >= self.integrate_score_floor
+                    T = jnp.where(integrate, T, T_prev)
+                    fit = jnp.where(integrate, fit, 0.0)
                 if use_pose:
                     # trust-region gating against the known pose: smooth,
                     # low-texture objects let ICP slide along flat cost
@@ -284,17 +434,32 @@ class RGBDStitcher:
                         jnp.linalg.norm(d[:3, 3]) > self.pose_trust_trans
                     ) | (rot_err > self.pose_trust_rot)
                     T = jnp.where(bad, init, T)
-                model, overflow = self._model_append(
-                    model, current, T, overflow
+                model, overflow = jax.lax.cond(
+                    integrate,
+                    lambda mo: self._model_append(mo[0], current, T, mo[1]),
+                    lambda mo: mo,
+                    (model, overflow),
                 )
+                # outlier_std_ratio default 2.0 matches the reference
+                # (stitcher.py:158-159). The statistic is GLOBAL: in a
+                # mixed-density scene (dense tabletop + one object) the
+                # dominant surface sets a tight threshold that scrubs the
+                # object's rim/tip points as "outliers" — loosen it (or
+                # set optimization_modulus high) for tabletop scans.
+                std_ratio = float(getattr(self, "outlier_std_ratio", 2.0))
                 model = jax.lax.cond(
                     (jnp.mod(i, self.optimization_modulus) == 0)
                     & (jnp.sum(model.valid) > 1000),
-                    lambda m: remove_statistical_outliers(m, 20, 2.0),
+                    lambda m: remove_statistical_outliers(m, 20, std_ratio),
                     lambda m: m,
                     model,
                 )
-                return (model, overflow, i + 1, T), fit
+                # on a dropped frame the odometry chain does not advance
+                new_prev2 = jnp.where(integrate, T_prev, T_prev2)
+                return (
+                    (model, overflow, i + 1, T, new_prev2),
+                    (fit, T, s1, s_best),
+                )
 
             # dispatch in blocks: one lax.scan per <= frames_per_block
             # frames (compile reused across equal-length blocks). The
@@ -304,15 +469,33 @@ class RGBDStitcher:
             fpb = int(getattr(self, "frames_per_block", 8))
             scan_fn = jax.jit(partial(jax.lax.scan, step))
             carry = (combined, overflow, jnp.int32(1),
+                     jnp.eye(4, dtype=jnp.float32),
                      jnp.eye(4, dtype=jnp.float32))
-            fits = []
+            fits, Ts, scores = [], [], []
             for b0 in range(0, F - 1, fpb):
                 b1 = min(b0 + fpb, F - 1)
-                carry, f_block = scan_fn(
+                carry, (f_block, T_block, s1_b, sb_b) = scan_fn(
                     carry, (depths[b0:b1], cols[b0:b1], pose_seq[b0:b1])
                 )
+                if getattr(self, "block_verbose", False):
+                    # scalar readback fences the block (block_until_ready
+                    # returns at enqueue on the axon tunnel) and localizes
+                    # a worker crash to its block
+                    print(
+                        f"  [stitch] frames {b0 + 1}-{b1} fit "
+                        f"{float(f_block[-1]):.3f}",
+                        flush=True,
+                    )
                 fits.append(f_block)
-            combined, overflow, _, _ = carry
+                Ts.append(T_block)
+                scores.append(np.stack([np.asarray(s1_b), np.asarray(sb_b)], 1))
+            combined, overflow = carry[0], carry[1]
+            self.last_fits = np.concatenate([np.asarray(f) for f in fits])
+            self.last_transforms = np.concatenate(
+                [np.asarray(t) for t in Ts]
+            )
+            # (F-1, 2): chained tight score, accepted tight score
+            self.last_scores = np.concatenate(scores)
 
         overflow = int(overflow)
         if overflow > 0:

@@ -263,6 +263,46 @@ class TestStitcher:
         assert abs(pts[:, 0].mean() - 0.75) < 0.1
         assert abs(pts[:, 1].mean() - 0.75) < 0.1
 
+    @pytest.mark.slow
+    def test_pose_free_stitch_survives_viewpoint_jump(self):
+        """Pose-free (no FK) stitch across a ~60 deg azimuth teleport.
+
+        Odometry chaining alone diverges at the jump; the FPFH+RANSAC
+        global rescue (stitcher._global_init_j, fit-gated in the scan
+        step) must re-lock the chain. Reference context: its pose-free
+        route (stitcher.py:114-166) assumes video-dense capture and has
+        no global stage at all.
+        """
+        from reconplan_tpu.io.render import SplatCamera
+        from reconplan_tpu.recon.stitcher import PinholeIntrinsic, RGBDStitcher
+
+        obj = np.array([0.75, 0.75, 0.0])
+        cam = SplatCamera(width=160, height=120, fx=100, fy=100, cx=80, cy=60,
+                          samples_per_mesh=300_000)
+        cam.add_mesh_file(BANANA, translate=tuple(obj))
+        # two dense 3-frame clusters separated by a large azimuth jump
+        r, h = 0.35, 0.25
+        azs = [2.0, 2.1, 2.2, 3.2, 3.3, 3.4]
+        eyes = [obj + [r * np.cos(a), r * np.sin(a), h] for a in azs]
+        frames = [cam.take_picture(e, obj) for e in eyes]
+        depths = [f[0] for f in frames]
+        colors = [f[1] for f in frames]
+        poses = np.stack([f[2] for f in frames]).astype(np.float32)
+        st = RGBDStitcher(PinholeIntrinsic(160, 120, 100, 100, 80, 60))
+        st.voxel_size = 0.004
+        st.distance_threshold = 0.02
+        st.model_capacity = 8192
+        cloud = st.stitch_sequence(colors, depths, poses=None)
+        pts, _, _ = cloud.compact()
+        # model lives in camera-0 coordinates: evaluate against frame-0's
+        # true pose (evaluation-only, same convention as bench_stitch)
+        world = pts @ poses[0][:3, :3].T + poses[0][:3, 3]
+        center_err = np.linalg.norm(world.mean(axis=0)[:2] - obj[:2])
+        # a diverged chain scatters the second cluster decimeters away
+        assert center_err < 0.03, f"stitched center off by {center_err:.3f} m"
+        spread = np.linalg.norm(world - world.mean(axis=0), axis=1).max()
+        assert spread < 0.2, f"cloud spread {spread:.3f} m (divergence)"
+
 
 class TestFeatures:
     def test_fpfh_ransac_recovers_pose(self):
