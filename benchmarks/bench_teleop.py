@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--kinds", default=",".join(KINDS),
                     help="comma-separated trajectory kinds, in run order "
                     "(lets a resumed run front-load the unfinished kinds)")
+    ap.add_argument("--grr-greedy-seed", action="store_true",
+                    help="add the current config as an extra GRR IK seed "
+                    "(DTW-gap experiment; documented divergence from the "
+                    "reference's roadmap-only seeding)")
     ap.add_argument("--resume", action="store_true",
                     help="load <out>.partial (written after every finished "
                     "kind) and skip kinds already present — crash recovery "
@@ -165,6 +169,7 @@ def main(argv=None):
             # they complete (the full protocol runs for hours)
             checkpoint_path=(args.out + ".partial") if args.out else None,
             initial_results=initial,
+            greedy_seed=args.grr_greedy_seed,
         )
         print(f"\nbatched benchmark wall time: {time.time()-t0:.1f}s")
     else:

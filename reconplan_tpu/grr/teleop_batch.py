@@ -105,8 +105,17 @@ def make_tracking_solver(resolution, max_iters=100, tolerance=1e-3, n_seeds=4):
     return solve_many
 
 
-def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
+def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3,
+                  greedy_seed=False):
     """ONE fused jitted dispatch per GRR teleop tick.
+
+    ``greedy_seed=True`` adds the CURRENT config as one more IK restart
+    alongside the roadmap seeds (reference GRR seeds from the roadmap
+    only, ``resolution.py:299-330``; a documented divergence for the
+    round-5 DTW-gap experiment): when the greedy continuous branch is
+    valid it wins the min-joint-motion selection and tracks as tightly
+    as the Newton arm, while the roadmap seeds still carry the rows
+    where greedy tracking fails.
 
     Folds the tracking solve, the FK of the current configs, and an
     inline fixed-depth-3 bisection continuity check (the regime that
@@ -165,6 +174,9 @@ def make_grr_tick(resolution, target_dim, max_iters=100, tolerance=1e-3):
         j = max(1, min(4, k))
         _, sidx = jax.lax.top_k(-jd, j)
         seeds = jnp.take_along_axis(cfgs, sidx[:, :, None], axis=1)
+        if greedy_seed:
+            seeds = jnp.concatenate([qs32[:, None, :], seeds], axis=1)
+            j = j + 1
         Nr, A_ = qs32.shape
         q_j, ok_j = _ik(
             jnp.repeat(pts, j, axis=0), seeds.reshape(Nr * j, A_)
@@ -378,7 +390,7 @@ def _fk_points_batch(robot, qs):
 
 def grr_teleop_batch(
     resolution, trajs, q0s, alive, max_change=0.04, converge_steps=100,
-    verbose=False,
+    verbose=False, greedy_seed=False,
 ):
     """Track N same-length trajectories with GRR teleop, ticks batched.
 
@@ -407,7 +419,7 @@ def grr_teleop_batch(
     N, T, D = trajs.shape
     A = q0s.shape[1]
     total = T + converge_steps
-    tick = make_grr_tick(resolution, D)
+    tick = make_grr_tick(resolution, D, greedy_seed=greedy_seed)
     plan_fast = make_plan_helper(resolution)
 
     def _tick_body(traj_seq, qs, hist, t):
@@ -474,6 +486,15 @@ def grr_teleop_batch(
     plan_idx = [0] * N
     stats = {"ticks": 0, "continuous": 0, "plan_follow": 0, "rescue": 0,
              "stuck": 0, "deep_recheck": 0, "blocks": 0, "block_replays": 0}
+    # per-tick workspace deviation |ee - target| (position, meters),
+    # attributed to the regime that handled the row that tick — the
+    # round-4 VERDICT asks where GRR's DTW gap vs Newton comes from
+    # (smooth tracking vs fallback-detour ticks)
+    dev = {c: [0.0, 0] for c in ("smooth", "plan", "rescue", "stuck")}
+
+    def _dev_add(cls, dists):
+        dev[cls][0] += float(np.sum(dists))
+        dev[cls][1] += int(np.size(dists))
 
     n_alive = int(alive.sum())
     streak = S  # optimistic: try a block first
@@ -506,6 +527,11 @@ def grr_teleop_batch(
                 qs_d, hist_d, t_d = qs_b, hist_b, t_b
                 stats["ticks"] += S * n_alive
                 stats["continuous"] += S * n_alive
+                tgt_b = trajs[:, np.minimum(np.arange(t, t + S), T - 1), :3]
+                cp_b = packed_b[..., 3 + A : 3 + A + 3]  # (S, N, 3)
+                _dev_add("smooth", np.linalg.norm(
+                    np.swapaxes(cp_b, 0, 1)[alive] - tgt_b[alive], axis=-1
+                ))
                 for i in np.flatnonzero(alive):
                     plan_path[i] = None
                     plan_idx[i] = 0
@@ -530,6 +556,10 @@ def grr_teleop_batch(
         smooth_auto = ok & cont & ~deep
         stats["ticks"] += int(alive.sum())
         stats["continuous"] += int(smooth_auto.sum())
+        tick_dev = np.linalg.norm(
+            curr_pts[:, :3] - trajs[:, min(t, T - 1), :3], axis=-1
+        )
+        _dev_add("smooth", tick_dev[smooth_auto])
         # rows auto-stepped on device drop any plan state
         for i in np.flatnonzero(smooth_auto):
             plan_path[i] = None
@@ -571,10 +601,12 @@ def grr_teleop_batch(
                     robot, qs_host[i][None], q_t[i][None], max_change
                 )[0]
                 stats["continuous"] += 1
+                _dev_add("smooth", tick_dev[i])
             elif ok[i]:
                 # discontinuity: follow a roadmap plan
                 # (resolution.py:171-195)
                 stats["plan_follow"] += 1
+                _dev_add("plan", tick_dev[i])
                 if plan_path[i] is None:
                     c_path = plan_fast(curr_pts[i], targets[i], q_t[i])
                     if c_path is not None and len(c_path) > 1:
@@ -603,6 +635,7 @@ def grr_teleop_batch(
             # solve-failure fallback: nearest 5 roadmap nodes, first whose
             # config is continuous from here (resolution.py:197-213)
             stats["rescue"] += len(rescue_rows)
+            _dev_add("rescue", tick_dev[rescue_rows])
             F = len(rescue_rows)
             Fp = _pow2(F)
             rows = rescue_rows + [rescue_rows[-1]] * (Fp - F)
@@ -655,6 +688,11 @@ def grr_teleop_batch(
     c_trajs = [
         hist[:, i] if alive[i] else np.zeros((0, A)) for i in range(N)
     ]
+    stats["deviation_by_class_mm"] = {
+        c: (round(1000.0 * s / n, 3) if n else None)
+        for c, (s, n) in dev.items()
+    }
+    stats["deviation_ticks"] = {c: n for c, (s, n) in dev.items()}
     return c_trajs, stats
 
 
@@ -1147,6 +1185,7 @@ def run_reference_benchmark(
     verbose=True,
     checkpoint_path=None,
     initial_results=None,
+    greedy_seed=False,
 ):
     """All arms x all kinds at the reference protocol, ticks batched.
 
@@ -1190,7 +1229,7 @@ def run_reference_benchmark(
         _phase("grr: tracking")
         grr_c, grr_stats = grr_teleop_batch(
             resolution, trajs, q0s, alive, max_change, converge_steps,
-            verbose=verbose,
+            verbose=verbose, greedy_seed=greedy_seed,
         )
         _phase("grr: analysis")
         kind_res["grr"] = summarize(analyze_arm(robot, trajs, grr_c))
