@@ -511,6 +511,37 @@ class RGBDStitcher:
         return combined
 
     # ------------------------------------------------------------------
+    def visualize_registration(self, source, target, transformed=None,
+                               path="registration.html"):
+        """Headless twin of the reference's registration viewer
+        (``stitcher.py:168-200``): overlay source/target/(transformed)
+        clouds in one scene, painting uncolored clouds red/green/blue
+        exactly as the reference does, and write an interactive HTML
+        orbit view instead of opening an Open3D GL window (this
+        framework is headless by design — see viz/html_export.py).
+
+        Returns the written path.
+        """
+        from reconplan_tpu.viz.html_export import export_cloud_html
+
+        paint = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+        pts_all, col_all = [], []
+        clouds = [source, target] + ([transformed] if transformed is not None
+                                     else [])
+        for cloud, default_rgb in zip(clouds, paint):
+            pts, cols, _ = cloud.compact()
+            if len(cols) != len(pts):
+                cols = np.tile(np.asarray(default_rgb, np.float32),
+                               (len(pts), 1))
+            pts_all.append(pts)
+            col_all.append(cols)
+        return export_cloud_html(
+            np.concatenate(pts_all) if pts_all else np.zeros((0, 3)),
+            path,
+            colors=np.concatenate(col_all) if col_all else None,
+        )
+
+    # ------------------------------------------------------------------
     # dataset loaders (stitcher.py:202-258)
     # ------------------------------------------------------------------
     def load_default(self):
