@@ -123,6 +123,151 @@ def grr_plan(grr, workspace_path, track_array=None, batched=True,
     return config_path
 
 
+def make_arc_schedule(n_arcs, per_arc, base_az=3 * np.pi / 4):
+    """The scan's viewpoint schedule (``main.py:68-136`` arc, widened).
+
+    1 arc = the reference demo's single overhead arc. >1 arcs = the
+    measured round-4 coverage schedule: alternating MID (r=0.25, h=0.10)
+    and LOW grazing (r=0.22, h=0.035) arcs spread over 360 deg azimuth
+    (halves the near-table observation misses vs a 45-deg fan).
+    """
+    if n_arcs <= 1:
+        return [scan_arc(OBJECT_POINT, radius=0.3, height=0.15,
+                         num_points=per_arc)]
+    return [
+        scan_arc(
+            OBJECT_POINT,
+            radius=0.25 if a % 2 == 0 else 0.22,
+            height=0.10 if a % 2 == 0 else 0.035,
+            num_points=per_arc,
+            azimuth=base_az + a * 2 * np.pi / n_arcs,
+            max_horiz=1.03,  # stay inside the UR10 look-at reach
+        )
+        for a in range(n_arcs)
+    ]
+
+
+def build_observation_cloud(frames, max_points=80_000, seed=0):
+    """Backproject every captured frame into one world-frame observation
+    cloud (points + their camera centers). 80k samples keep the O(N^2)
+    normal-estimation kNN tractable on every backend while staying in
+    the ~0.4 mm Poisson class (eval_poisson_fidelity uses 60k)."""
+    from reconplan_tpu.ops.pointcloud import backproject_depth
+
+    obs_pts, obs_cam = [], []
+    for i in range(len(frames.depth)):
+        cl = backproject_depth(
+            jnp.asarray(frames.depth[i]),
+            D435["fx"], D435["fy"], D435["cx"], D435["cy"],
+            depth_scale=frames.depth_scale or 1000.0,
+        )
+        p = np.asarray(cl.points)[np.asarray(cl.valid).astype(bool)]
+        T = np.asarray(frames.poses[i])
+        obs_pts.append((p @ T[:3, :3].T + T[:3, 3]).astype(np.float32))
+        obs_cam.append(np.broadcast_to(T[:3, 3].astype(np.float32), p.shape))
+    obs = np.concatenate(obs_pts)
+    cams = np.concatenate(obs_cam)
+    if len(obs) > max_points:
+        pick = np.random.default_rng(seed).choice(
+            len(obs), max_points, replace=False)
+        obs, cams = obs[pick], cams[pick]
+    return obs, cams
+
+
+def poisson_close_mesh(obs, cams, depth=192):
+    """Screened-Poisson watertight closure from the observation cloud.
+
+    Input = raw BACKPROJECTED observations with camera-oriented
+    covariance normals, NOT the MC mesh vertices: MC staircase normals
+    at voxel scale are noisy enough to swell the solve (measured
+    2.17 mm vs GT from MC input at 256^3; observation input
+    reconstructs the banana at the ~0.4 mm class of
+    eval_poisson_fidelity.py). Returns (T, 3, 3) triangles.
+    """
+    from reconplan_tpu.ops.pointcloud import estimate_normals, make_cloud
+    from reconplan_tpu.recon.poisson import poisson_reconstruct
+
+    ncl = estimate_normals(make_cloud(jnp.asarray(obs)), k=16)
+    nrm = np.array(ncl.normals)  # writable copy (asarray of a jax
+    # buffer is read-only)
+    # orient toward each point's OWN camera (estimate_normals orients
+    # toward the origin, which is the robot base here)
+    flip = np.sum(nrm * (cams - obs), axis=-1) < 0
+    nrm[flip] = -nrm[flip]
+    return np.asarray(
+        poisson_reconstruct(obs, nrm.astype(np.float32), depth=depth)
+    )
+
+
+def close_gate_signals(open_tris, closed_tris, obs,
+                       n_samples=15_000, hole_tau=0.006, seed=0):
+    """GT-free evidence for choosing the open TSDF mesh vs its
+    Poisson-closed variant (the auto `close_mesh="auto"` gate).
+
+    The only ground truth available in-pipeline is the observation
+    cloud, so the gate scores both meshes against a truth-surface
+    hypothesis S = observations UNION the closed mesh's unobserved
+    closure area (surface >hole_tau from any observation — e.g. the
+    underside no above-floor camera can see):
+
+      * fit_open / fit_closed — mean exact point-to-triangle distance
+        observations -> mesh: how well each mesh tracks real data.
+      * hole_mean_open — mean distance of the closure-area samples to
+        the OPEN mesh: what the open mesh pays for the area it is
+        missing (0 for the closed mesh by construction).
+      * hole_frac — closure area as a fraction of the closed surface
+        (capture-density signal: dense capture -> only the true
+        underside is unobserved -> small).
+
+    proxy(M) = fit(M) + hole_frac * hole_mean(M) approximates the
+    symmetric Chamfer vs the unknown true surface up to the closure's
+    own (unknowable without GT) error in unobserved regions.
+    """
+    from reconplan_tpu.ops.nn import nearest_neighbor
+    from reconplan_tpu.recon.metrics import points_to_mesh_distance
+
+    rng = np.random.default_rng(seed)
+    sub = obs[rng.choice(len(obs), min(n_samples, len(obs)),
+                         replace=False)]
+    fit_open = float(np.mean(points_to_mesh_distance(
+        jnp.asarray(sub), jnp.asarray(open_tris))))
+    fit_closed = float(np.mean(points_to_mesh_distance(
+        jnp.asarray(sub), jnp.asarray(closed_tris))))
+
+    # area-weighted samples of the closed surface
+    tri = np.asarray(closed_tris, np.float32)
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=-1)
+    p_tri = area / max(area.sum(), 1e-12)
+    pick = rng.choice(len(tri), n_samples, p=p_tri)
+    u, v = rng.uniform(size=(2, n_samples)).astype(np.float32)
+    flip = u + v > 1
+    u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
+    t = tri[pick]
+    csamp = (t[:, 0] + u[:, None] * (t[:, 1] - t[:, 0])
+             + v[:, None] * (t[:, 2] - t[:, 0]))
+    d_obs = np.asarray(
+        nearest_neighbor(jnp.asarray(csamp), jnp.asarray(obs))[0])
+    in_hole = d_obs > hole_tau
+    hole_frac = float(in_hole.mean())
+    if in_hole.any():
+        hole_mean_open = float(np.mean(np.asarray(points_to_mesh_distance(
+            jnp.asarray(csamp[in_hole]), jnp.asarray(open_tris)))))
+    else:
+        hole_mean_open = 0.0
+    proxy_open = fit_open + hole_frac * hole_mean_open
+    proxy_closed = fit_closed  # closure area is on the closed mesh
+    return {
+        "fit_open_mm": fit_open * 1000,
+        "fit_closed_mm": fit_closed * 1000,
+        "hole_frac": hole_frac,
+        "hole_mean_open_mm": hole_mean_open * 1000,
+        "proxy_open_mm": proxy_open * 1000,
+        "proxy_closed_mm": proxy_closed * 1000,
+        "best": "closed" if proxy_closed < proxy_open else "open",
+    }
+
+
 def run_scan(
     roadmap_dir=None,
     n_waypoints=500,
@@ -134,7 +279,7 @@ def run_scan(
     n_arcs=1,
     rotation_type=None,
     engine=None,  # "brick" | "dense" | None = brick on TPU, dense on CPU
-    close_mesh=True,  # Poisson-close the open TSDF mesh (see below)
+    close_mesh="auto",  # "auto" | True | False — Poisson closing pass
     close_depth=192,  # Poisson grid resolution for the closing pass
     verbose=True,
 ):
@@ -178,35 +323,8 @@ def run_scan(
         )
 
     # ---- arc construction (main.py:68-136) ----
-    base_az = 3 * np.pi / 4
     per_arc = max(n_waypoints // max(n_arcs, 1), 2)
-    if n_arcs <= 1:
-        arcs = [
-            scan_arc(
-                OBJECT_POINT, radius=0.3, height=0.15, num_points=per_arc
-            )
-        ]
-    else:
-        # measured coverage schedule (round-4 viewpoint-coverage probe,
-        # gt->observation distance binned by height): alternating MID
-        # (r=0.25, h=0.10) and LOW grazing (r=0.22, h=0.035) arcs with
-        # azimuths spread over the full 360 deg. vs the round-3 fan
-        # (45-deg offsets, lowest h=0.06) this halves the near-table
-        # band's misses (z<8 mm: 9.0% -> 4.8% of GT samples >2 mm from
-        # any observation; overall 3.4% -> 2.7%) — the residual low-band
-        # tail is the physically unobservable underside, which the
-        # Poisson closing pass below handles.
-        arcs = [
-            scan_arc(
-                OBJECT_POINT,
-                radius=0.25 if a % 2 == 0 else 0.22,
-                height=0.10 if a % 2 == 0 else 0.035,
-                num_points=per_arc,
-                azimuth=base_az + a * 2 * np.pi / n_arcs,
-                max_horiz=1.03,  # stay inside the UR10 look-at reach
-            )
-            for a in range(n_arcs)
-        ]
+    arcs = make_arc_schedule(n_arcs, per_arc)
     arc = np.concatenate(arcs, axis=0)
     with open(os.path.join(out_dir, "wtraj_input.txt"), "w") as f:
         for p in arc:
@@ -324,53 +442,16 @@ def run_scan(
         # so the object's underside — unobservable from any above-floor
         # camera — is an open hole that gt->mesh Chamfer pays several mm
         # for. Screened-Poisson reconstruction (recon/poisson.py)
-        # extrapolates a smooth closure. Input = the raw BACKPROJECTED
-        # observation cloud with camera-oriented covariance normals, NOT
-        # the MC mesh vertices: MC staircase normals at voxel scale are
-        # noisy enough to swell the solve (measured 2.17 mm vs GT from
-        # MC input at 256^3; observation input reconstructs the banana
-        # at the ~0.4 mm class of eval_poisson_fidelity.py).
+        # extrapolates a smooth closure. At DENSE capture the smooth
+        # closure instead fights real observations (measured @512³:
+        # 72 frames 0.734 → 3.600 mm, 24 frames 2.787 → 1.121 mm), so
+        # the default close_mesh="auto" scores both meshes against the
+        # observation cloud (close_gate_signals — GT-free) and keeps the
+        # winner; True/False force the round-3/round-4 manual behaviors.
         t0 = time.time()
-        from reconplan_tpu.ops.pointcloud import (
-            backproject_depth, estimate_normals, make_cloud,
-        )
-        from reconplan_tpu.recon.poisson import poisson_reconstruct
-
-        obs_pts, obs_cam = [], []
-        for i in range(len(frames.depth)):
-            cl = backproject_depth(
-                jnp.asarray(frames.depth[i]),
-                D435["fx"], D435["fy"], D435["cx"], D435["cy"],
-                depth_scale=frames.depth_scale or 1000.0,
-            )
-            p = np.asarray(cl.points)[np.asarray(cl.valid).astype(bool)]
-            T = np.asarray(frames.poses[i])
-            obs_pts.append((p @ T[:3, :3].T + T[:3, 3]).astype(np.float32))
-            obs_cam.append(
-                np.broadcast_to(T[:3, 3].astype(np.float32), p.shape)
-            )
-        obs = np.concatenate(obs_pts)
-        cams = np.concatenate(obs_cam)
-        # 80k samples: enough for the ~0.4 mm Poisson class on the banana
-        # (eval_poisson_fidelity uses 60k) while keeping the O(N^2)
-        # normal-estimation kNN tractable on every backend
-        if len(obs) > 80_000:
-            pick_o = np.random.default_rng(0).choice(
-                len(obs), 80_000, replace=False
-            )
-            obs, cams = obs[pick_o], cams[pick_o]
+        obs, cams = build_observation_cloud(frames)
         with timer.stage("poisson_close"):
-            ncl = estimate_normals(make_cloud(jnp.asarray(obs)), k=16)
-            nrm = np.array(ncl.normals)  # writable copy (asarray of a
-            # jax buffer is read-only)
-            # orient toward each point's OWN camera (estimate_normals
-            # orients toward the origin, which is the robot base here)
-            flip = np.sum(nrm * (cams - obs), axis=-1) < 0
-            nrm[flip] = -nrm[flip]
-            closed = np.asarray(
-                poisson_reconstruct(obs, nrm.astype(np.float32),
-                                    depth=close_depth)
-            )
+            closed = poisson_close_mesh(obs, cams, depth=close_depth)
         save_ply(os.path.join(out_dir, "closed_mesh.ply"), triangles=closed)
         ch, ab, ba = chamfer_to_mesh(closed.reshape(-1, 3), gt_v, gt_f)
         results["closed_chamfer_mm"] = ch * 1000
@@ -383,6 +464,33 @@ def run_scan(
                 f"Chamfer vs GT: {ch*1000:.3f} mm "
                 f"(mesh->gt {ab*1000:.3f}, gt->mesh {ba*1000:.3f})"
             )
+        open_mesh = results.get("fuse_chamfer_mm") is not None and len(mesh)
+        if close_mesh == "auto" and open_mesh:
+            with timer.stage("close_gate"):
+                gate = close_gate_signals(
+                    np.asarray(mesh, np.float32), closed, obs
+                )
+            results["close_gate"] = gate
+            best_tris = closed if gate["best"] == "closed" else mesh
+            best_key = ("closed_chamfer_mm" if gate["best"] == "closed"
+                        else "fuse_chamfer_mm")
+            results["best_mesh"] = gate["best"]
+            results["best_chamfer_mm"] = results[best_key]
+            save_ply(os.path.join(out_dir, "best_mesh.ply"),
+                     triangles=np.asarray(best_tris))
+            if verbose:
+                print(
+                    f"auto close gate: kept {gate['best']} mesh "
+                    f"(proxy open {gate['proxy_open_mm']:.3f} mm vs "
+                    f"closed {gate['proxy_closed_mm']:.3f} mm; "
+                    f"hole_frac {gate['hole_frac']:.3%})"
+                )
+        elif close_mesh == "auto":
+            results["best_mesh"] = "closed"
+            results["best_chamfer_mm"] = results["closed_chamfer_mm"]
+    elif results.get("fuse_chamfer_mm") is not None:
+        results["best_mesh"] = "open"
+        results["best_chamfer_mm"] = results["fuse_chamfer_mm"]
 
     if reconstruct in ("stitch", "both"):
         t0 = time.time()
@@ -432,8 +540,13 @@ def main(argv=None):
                     help="GRR problem variant (default: infer from roadmap)")
     ap.add_argument("--engine", default=None, choices=["brick", "dense"],
                     help="TSDF engine (default: brick on TPU, dense on CPU)")
+    ap.add_argument("--close-mode", default="auto",
+                    choices=["auto", "always", "never"],
+                    help="Poisson closing pass: auto (default) scores the "
+                    "open TSDF mesh vs its closure against the observation "
+                    "cloud and keeps the winner; always/never force it")
     ap.add_argument("--no-close", action="store_true",
-                    help="skip the Poisson closing pass after TSDF+MC")
+                    help="alias for --close-mode never")
     ap.add_argument("--close-depth", type=int, default=192,
                     help="Poisson grid resolution of the closing pass")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
@@ -480,7 +593,8 @@ def main(argv=None):
             n_arcs=args.arcs,
             rotation_type=args.rotation_type,
             engine=args.engine,
-            close_mesh=not args.no_close,
+            close_mesh=(False if (args.no_close or args.close_mode == "never")
+                        else True if args.close_mode == "always" else "auto"),
             close_depth=args.close_depth,
         )
 

@@ -20,6 +20,67 @@ def bumpy_sphere(n, r0=0.5):
     return (d * r[:, None]).astype(np.float32), d.astype(np.float32)
 
 
+def uv_sphere_tris(r=0.05, n_lat=24, n_lon=32, z_min=None):
+    """UV-sphere triangle soup (T, 3, 3); drop triangles whose centroid
+    sits below ``z_min`` to simulate an unobserved underside hole."""
+    th = np.linspace(0, np.pi, n_lat + 1)
+    ph = np.linspace(0, 2 * np.pi, n_lon + 1)
+    v = np.stack(
+        [
+            r * np.outer(np.sin(th), np.cos(ph)),
+            r * np.outer(np.sin(th), np.sin(ph)),
+            r * np.outer(np.cos(th), np.ones_like(ph)),
+        ],
+        axis=-1,
+    )  # (n_lat+1, n_lon+1, 3)
+    tris = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b, c, d = v[i, j], v[i + 1, j], v[i + 1, j + 1], v[i, j + 1]
+            tris.append([a, b, c])
+            tris.append([a, c, d])
+    tris = np.asarray(tris, np.float32)
+    if z_min is not None:
+        tris = tris[tris.mean(axis=1)[:, 2] >= z_min]
+    return tris
+
+
+class TestCloseGate:
+    """GT-free open-vs-closed mesh selection (apps/scan.py auto gate)."""
+
+    def _obs(self, r=0.05, n=4000, z_min=-0.02):
+        d = np.random.default_rng(3).normal(size=(n, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        pts = (r * d).astype(np.float32)
+        return pts[pts[:, 2] >= z_min]
+
+    def test_picks_closed_when_hole_dominates(self):
+        """Sparse capture: open mesh misses the whole underside; the
+        faithful closure must win."""
+        from reconplan_tpu.apps.scan import close_gate_signals
+
+        obs = self._obs(z_min=-0.02)
+        open_tris = uv_sphere_tris(z_min=-0.02)
+        closed_tris = uv_sphere_tris()
+        g = close_gate_signals(open_tris, closed_tris, obs,
+                               n_samples=4000, hole_tau=0.004)
+        assert g["best"] == "closed", g
+        assert g["hole_frac"] > 0.05, g
+
+    def test_picks_open_when_closure_fights_observations(self):
+        """Dense capture: tiny residual hole, but the closure is biased
+        (inflated 4 mm) — keep the open mesh that tracks the data."""
+        from reconplan_tpu.apps.scan import close_gate_signals
+
+        obs = self._obs(z_min=-0.0499)
+        open_tris = uv_sphere_tris(z_min=-0.0499)
+        closed_tris = uv_sphere_tris(r=0.054)
+        g = close_gate_signals(open_tris, closed_tris, obs,
+                               n_samples=4000, hole_tau=0.004)
+        assert g["best"] == "open", g
+        assert g["fit_closed_mm"] > g["fit_open_mm"], g
+
+
 class TestPoisson:
     def test_sphere_reconstruction_submillimeter(self):
         from reconplan_tpu.recon.poisson import poisson_reconstruct
@@ -262,6 +323,28 @@ class TestStitcher:
         # stitched cloud sits on the banana
         assert abs(pts[:, 0].mean() - 0.75) < 0.1
         assert abs(pts[:, 1].mean() - 0.75) < 0.1
+
+    def test_visualize_registration_writes_overlay(self, tmp_path):
+        """visualize_registration parity (stitcher.py:168-200): headless
+        HTML overlay, uncolored clouds painted red/green/blue."""
+        from reconplan_tpu.ops.pointcloud import make_cloud
+        from reconplan_tpu.recon.stitcher import PinholeIntrinsic, RGBDStitcher
+
+        st = RGBDStitcher(PinholeIntrinsic(160, 120, 100, 100, 80, 60))
+        rng = np.random.default_rng(0)
+        src = make_cloud(rng.normal(size=(40, 3)).astype(np.float32))
+        tgt = make_cloud(rng.normal(size=(50, 3)).astype(np.float32),
+                         colors=rng.uniform(size=(50, 3)).astype(np.float32))
+        moved = make_cloud(rng.normal(size=(30, 3)).astype(np.float32))
+        out = st.visualize_registration(
+            src, tgt, transformed=moved,
+            path=str(tmp_path / "reg.html"))
+        html = open(out).read()
+        # 40 uncolored source points painted red, 30 transformed blue;
+        # the colored target keeps its own colors
+        assert html.count("rgb(255,0,0)") == 40
+        assert html.count("rgb(0,0,255)") == 30
+        assert "points" in html
 
     @pytest.mark.slow
     def test_pose_free_stitch_survives_viewpoint_jump(self):
