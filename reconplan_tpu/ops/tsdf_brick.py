@@ -53,6 +53,35 @@ BRICK_Z, BRICK_Y, BRICK_X = 8, 8, 16  # 8x8x16 voxels = one (8,128) tile
 # the round-1 center-anchored +-28/+-64 window, but strictly wider since
 # the base is the true footprint minimum).
 FOOT_H1, FOOT_H, WIN_H, WIN_W = 24, 32, 64, 256
+# Sampling-branch ladder (window rows, row-loop bound): the window is
+# loaded floor8-aligned (8 rows of slack above the loop bound) and
+# sublane-rolled so row vmin lands at sublane 0 — the loop then walks
+# only the TRUE footprint height instead of the aligned window. The
+# smallest branch whose loop bound >= vext is selected per (brick,
+# frame); the last entry is the unconditional fallback (footprints
+# taller than its loop bound lose their outermost voxels — same
+# documented approximation class as the pre-roll windows). Ladder tuned
+# to measured footprint heights: bench @512^3/0.8 m sees median 26 /
+# p90 32 rows (benchmarks/probe_sublane_ops.py docstring), the scan
+# workload @512^3/0.3 m sees ~8-17.
+SAMPLE_BRANCHES = ((24, 16), (32, 24), (40, 32), (WIN_H, 57))
+
+
+def _branch_sample(sample_fn, fits):
+    """Nested lax.cond ladder over SAMPLE_BRANCHES: call
+    ``sample_fn(Hwin, LOOP)`` for the smallest branch that fits
+    (``fits[i]`` = footprint fits branch i), last branch unconditional.
+    NOTE: branches must return only f32/i32 tiles — yielding a bool
+    vector from lax.cond crashes the Mosaic backend."""
+    def build(i):
+        hw, lp = SAMPLE_BRANCHES[i]
+        if i == len(SAMPLE_BRANCHES) - 1:
+            return lambda: sample_fn(hw, lp)
+        return lambda: jax.lax.cond(
+            fits[i], lambda: sample_fn(hw, lp), build(i + 1)
+        )
+
+    return build(0)()
 
 
 class BrickGrid(NamedTuple):
@@ -417,6 +446,7 @@ def _exact_frame_bits_dilated(
     per-frame pruning)."""
     bd, bh, bw = brick_dims
     NB = bd * bh * bw
+    cap = min(cap, NB)  # small grids: argsort can't yield more than NB ids
     F, Hd, Wd = depths.shape
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     # stable-argsort compaction (see _integrate_device_all): actives first
@@ -567,43 +597,43 @@ def _integrate_kernel(
             shift = jnp.clip(umin - u0, 0, 128)
             ubase = u0 + shift
             ul = ui - ubase
-            vl_img = vi  # window-local rows computed per branch below
 
-            # row window: FOOT_H rows when the footprint fits (typical
-            # production case: ~20-30 px tall bricks), else the WIN_H
-            # fallback. Both place the base at floor8(vmin). NOTE: the cond
-            # branches return ONLY the f32 depth tile — yielding a bool
-            # vector from lax.cond crashes the Mosaic backend (scf.yield of
-            # vector<i1>), so in_win is computed outside from scalars.
-            v0s = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H)
-            v0f = jnp.clip((vmin // 8) * 8, 0, Hd - WIN_H)
-            fits_small = (vmax - v0s) < FOOT_H
-            v0_eff = jnp.where(fits_small, v0s, v0f)
-            H_eff = jnp.where(fits_small, FOOT_H, WIN_H)
-            vl_eff = vl_img - v0_eff
-            in_win = (ul >= 0) & (ul < 128) & (vl_eff >= 0) & (vl_eff < H_eff)
+            # row branches: SAMPLE_BRANCHES ladder with a sublane roll so
+            # the loop walks only the true footprint height (see the
+            # constant's comment). in_win is computed outside the cond
+            # from scalars (bool vectors can't cross a Mosaic lax.cond).
+            vext = vmax - vmin + 1
+            fits = [vext <= L for _, L in SAMPLE_BRANCHES[:-1]]
+            loop_eff = jnp.int32(SAMPLE_BRANCHES[-1][1])
+            for (_, L), ft in zip(SAMPLE_BRANCHES[-2::-1], fits[::-1]):
+                loop_eff = jnp.where(ft, jnp.int32(L), loop_eff)
+            vl = vi - vmin
+            in_win = (ul >= 0) & (ul < 128) & (vl >= 0) & (vl < loop_eff)
             ulc = jnp.clip(ul, 0, 127)
 
-            def _sample(H, v0):
+            def _sample(Hwin, LOOP):
+                v0 = jnp.clip((vmin // 8) * 8, 0, Hd - Hwin)
                 v0 = pl.multiple_of(v0, 8)
-                win = depths_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
+                # clamp: an all-out-of-image footprint leaves vmin at the
+                # +2^20 sentinel; its samples are masked by in_img, the
+                # roll just must not see a negative shift
+                s0 = jnp.clip(vmin - v0, 0, Hwin - 1)
+                win = depths_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
                 rolled = pltpu.roll(
                     win, jnp.where(shift == 0, 0, WIN_W - shift), axis=1
                 )
-                wl = rolled[:, :128]
-                vl = vl_img - v0
+                wl = pltpu.roll(
+                    rolled[:, :128],
+                    jnp.where(s0 == 0, 0, Hwin - s0), axis=0,
+                )
                 d = jnp.zeros_like(sdf)
-                for r in range(H):
+                for r in range(LOOP):
                     row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
                     g = jnp.take_along_axis(row, ulc, axis=1)
                     d = jnp.where(vl == r, g, d)
                 return d
 
-            d = jax.lax.cond(
-                fits_small,
-                lambda: _sample(FOOT_H, v0s),
-                lambda: _sample(WIN_H, v0f),
-            )
+            d = _branch_sample(_sample, fits)
             ok = in_win & in_img
 
             d = d / depth_scale
@@ -838,36 +868,44 @@ def _integrate_kernel_dyn(
                 shift = jnp.clip(umin - u0, 0, 128)
                 ul = ui - (u0 + shift)
 
-                v0q = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H1)
-                v0s = jnp.clip((vmin // 8) * 8, 0, Hd - FOOT_H)
-                v0f = jnp.clip((vmin // 8) * 8, 0, Hd - WIN_H)
-                fits_q = (vmax - v0q) < FOOT_H1
-                fits_small = (vmax - v0s) < FOOT_H
-                v0_eff = jnp.where(
-                    fits_q, v0q, jnp.where(fits_small, v0s, v0f)
-                )
-                H_eff = jnp.where(
-                    fits_q, FOOT_H1, jnp.where(fits_small, FOOT_H, WIN_H)
-                )
-                vl_eff = vi - v0_eff
-                in_win = (ul >= 0) & (ul < 128) & (vl_eff >= 0) & (vl_eff < H_eff)
+                # Row branch = smallest loop bound covering the EXACT
+                # footprint height; the loaded window is 8 rows taller
+                # (floor8 alignment slack) and a dynamic SUBLANE roll
+                # brings row vmin to sublane 0, so the row loop walks
+                # only true footprint rows. vs the round-4 aligned
+                # windows (24/32/64 row walks, where the bench scene's
+                # 21-36-row footprints NEVER fit the 24 branch and ran
+                # 58% of brick-frames through the 64-row loop) this cuts
+                # sampling iterations ~41% at identical output.
+                vext = vmax - vmin + 1
+                fits = [vext <= L for _, L in SAMPLE_BRANCHES[:-1]]
+                loop_eff = jnp.int32(SAMPLE_BRANCHES[-1][1])
+                for (_, L), ft in zip(SAMPLE_BRANCHES[-2::-1],
+                                      fits[::-1]):
+                    loop_eff = jnp.where(ft, jnp.int32(L), loop_eff)
+                vl = vi - vmin
+                in_win = (ul >= 0) & (ul < 128) & (vl >= 0) & (vl < loop_eff)
                 ulc = jnp.clip(ul, 0, 127)
 
-                def _sample(H, v0):
+                def _sample(Hwin, LOOP):
                     """Gather depth (and packed color) at the voxel
-                    projections from an (H, WIN_W) window rolled so the
-                    footprint starts at lane 0."""
+                    projections from an (Hwin, WIN_W) window rolled so
+                    the footprint starts at lane 0 / sublane 0."""
+                    v0 = jnp.clip((vmin // 8) * 8, 0, Hd - Hwin)
                     v0 = pl.multiple_of(v0, 8)
-                    roll_by = jnp.where(shift == 0, 0, WIN_W - shift)
-                    win = depths_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
-                    wl = pltpu.roll(win, roll_by, axis=1)[:, :128]
-                    vl = vi - v0
+                    s0 = jnp.clip(vmin - v0, 0, Hwin - 1)
+                    roll_u = jnp.where(shift == 0, 0, WIN_W - shift)
+                    roll_v = jnp.where(s0 == 0, 0, Hwin - s0)
+                    win = depths_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
+                    wl = pltpu.roll(win, roll_u, axis=1)[:, :128]
+                    wl = pltpu.roll(wl, roll_v, axis=0)
                     d = jnp.zeros_like(sdf)
                     if with_color:
-                        cwin = colors_ref[f, pl.ds(v0, H), pl.ds(u0, WIN_W)]
-                        cl = pltpu.roll(cwin, roll_by, axis=1)[:, :128]
+                        cwin = colors_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
+                        cl = pltpu.roll(cwin, roll_u, axis=1)[:, :128]
+                        cl = pltpu.roll(cl, roll_v, axis=0)
                         c = jnp.zeros_like(sdf, dtype=jnp.int32)
-                    for r in range(H):
+                    for r in range(LOOP):
                         sel = vl == r
                         row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
                         d = jnp.where(sel, jnp.take_along_axis(row, ulc, axis=1), d)
@@ -880,15 +918,7 @@ def _integrate_kernel_dyn(
                             )
                     return (d, c) if with_color else (d, d)
 
-                d, cpk = jax.lax.cond(
-                    fits_q,
-                    lambda: _sample(FOOT_H1, v0q),
-                    lambda: jax.lax.cond(
-                        fits_small,
-                        lambda: _sample(FOOT_H, v0s),
-                        lambda: _sample(WIN_H, v0f),
-                    ),
-                )
+                d, cpk = _branch_sample(_sample, fits)
                 ok = in_win & in_img
 
                 d = d / depth_scale
@@ -1097,6 +1127,9 @@ def _integrate_device_all(
     """
     T_w2c_all = jnp.linalg.inv(poses)
     bd, bh, bw = brick_dims
+    # argsort compaction can't yield more ids than bricks exist (small
+    # grids used to broadcast-crash against an oversized static cap)
+    max_active = min(max_active, bd * bh * bw)
     nb_scratch = sdf_b.shape[0] - 1
     n_active = jnp.array(0, dtype=jnp.int32)
     F_all = depths.shape[0]
