@@ -619,6 +619,108 @@ class ExpansionSolver:
             if not improved:
                 return
 
+    def smooth_field(self, n_iter=5, verbose=True):
+        """Coherence relaxation sweeps over the configured field.
+
+        The reference's strictly-sequential FIFO expansion seeds every
+        projection from the inverse-square-weighted average of already-
+        assigned neighbors (``solver.py:227-259``), so its config field
+        is locally coherent by construction. The batched wave expansion
+        (plus multi-seed rescue restarts) configures MORE nodes but
+        leaves a rougher field — measured on ur10 rot_fixed: 2685/3299
+        configured but 5.8% disconnection / 9.9 rad/m vs the reference
+        artifact's 2692 / 0.0% / ~4.2. This pass is the TPU-shaped
+        equivalent of the reference's implicit coherence: Gauss-Seidel
+        relaxation of the redundancy field.
+
+        Per sweep, for each configured node (scheduled over greedy
+        graph-coloring independent sets so parallel updates never move
+        both endpoints of an edge): IK from the weighted neighbor
+        average with NO restarts, adopt iff valid AND it strictly
+        decreases the node's weighted config-distance to its configured
+        neighbors (descent on a per-edge potential, so sweeps
+        terminate), then re-check the node's incident edges.
+        """
+        ws = self.workspace
+        # greedy graph coloring once (host; ~3k nodes is trivial)
+        color = -np.ones(ws.num_nodes, dtype=np.int64)
+        for i in range(ws.num_nodes):
+            used = {color[j] for j in ws.adjacency[i]}
+            c = 0
+            while c in used:
+                c += 1
+            color[i] = c
+        n_colors = int(color.max()) + 1
+
+        def local_cost(nodes, qs):
+            """Weighted config-distance of each node's q to its
+            configured neighbors (inverse-square workspace weights)."""
+            out = np.zeros(len(nodes))
+            for b, i in enumerate(nodes):
+                nbrs = [j for j in ws.adjacency[i] if self.has_config[j]]
+                if not nbrs:
+                    continue
+                d_pt = np.maximum(np.linalg.norm(
+                    ws.points[nbrs, :3] - ws.points[i, :3], axis=-1
+                ), 1e-6)
+                w = 1.0 / d_pt**2
+                dq = np.asarray(self.robot.distance_batch(
+                    jnp.asarray(np.repeat(qs[b][None], len(nbrs), 0)),
+                    jnp.asarray(self.configs[nbrs]),
+                ))
+                out[b] = float((w * dq).sum() / w.sum())
+            return out
+
+        for sweep in range(n_iter):
+            adopted = 0
+            for c in range(n_colors):
+                nodes = [
+                    int(i) for i in np.flatnonzero(
+                        self.has_config & (color == c)
+                    )
+                    if any(self.has_config[j] for j in ws.adjacency[i])
+                ]
+                if not nodes:
+                    continue
+                # averaged seed only — restarts would hop basins, which
+                # is exactly the roughness this pass removes
+                nbr_sets = [
+                    [j for j in ws.adjacency[i] if self.has_config[j]]
+                    for i in nodes
+                ]
+                K = max(len(s) for s in nbr_sets)
+                K = 1 << int(np.ceil(np.log2(max(K, 1))))
+                nbr_idx = np.zeros((len(nodes), K), np.int64)
+                nbr_mask = np.zeros((len(nodes), K), bool)
+                for b, s in enumerate(nbr_sets):
+                    nbr_idx[b, : len(s)] = s
+                    nbr_mask[b, : len(s)] = True
+                seeds = np.asarray(_weighted_average_batch(
+                    jnp.asarray(ws.points[nodes]),
+                    jnp.asarray(ws.points[nbr_idx]),
+                    jnp.asarray(self.configs[nbr_idx]),
+                    jnp.asarray(nbr_mask),
+                    self.robot._cyclic_mask,
+                ))
+                q_new, conv, valid = self._ik_batch(
+                    ws.points[nodes], seeds
+                )
+                ok = conv & valid
+                cur = local_cost(nodes, self.configs[nodes])
+                new = local_cost(nodes, q_new)
+                take = ok & (new < cur - 1e-6)
+                changed = [n for n, tk in zip(nodes, take) if tk]
+                for b, (n, tk) in enumerate(zip(nodes, take)):
+                    if tk:
+                        self.configs[n] = q_new[b]
+                adopted += len(changed)
+                if changed:
+                    self.check_connections(changed)
+            if verbose:
+                print(f"smooth sweep {sweep + 1}: adopted {adopted}")
+            if not adopted:
+                break
+
     def scrub_disconnected(self, verbose=True):
         """Remove configs until NO disconnected edge joins two configured
         nodes — the observable end-state of the reference's shipped
