@@ -104,7 +104,15 @@ def main(argv=None):
     ap.add_argument("--smooth-iters", type=int, default=5)
     ap.add_argument("--out", default=None,
                     help="save dir (default: refine in place)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="cpu (default): many small IK batches lose to "
+                    "the ~30 ms tunnel RPC per dispatch, and cpu keeps "
+                    "the chip free for concurrent benches")
     args = ap.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from reconplan_tpu.grr import RedundancyResolution, evaluate_roadmap
     from reconplan_tpu.io.config import load_problem
