@@ -199,29 +199,69 @@ def poisson_close_mesh(obs, cams, depth=192):
     )
 
 
+def free_space_refuted(samples, frames, margin=0.004, miss_is_free=True):
+    """True where some camera verifiably saw THROUGH a world point.
+
+    A point is refuted when it projects into a frame and its camera-space
+    depth is shorter than the observed depth at that pixel by > ``margin``
+    (the ray passed through it to reach a surface behind). With
+    ``miss_is_free`` (valid for the sim splat camera, whose only scene
+    content is the object — no floor/background), a no-return pixel also
+    refutes: the ray hit nothing at all. Real sensors should pass
+    ``miss_is_free=False`` (no-return pixels are unreliable there).
+    """
+    fx, fy, cx, cy = frames.intrinsics
+    scale = frames.depth_scale or 1000.0
+    samples = np.asarray(samples, np.float32)
+    refuted = np.zeros(len(samples), bool)
+    for i in range(len(frames.depth)):
+        T = np.asarray(frames.poses[i])
+        pc = (samples - T[:3, 3]) @ T[:3, :3]  # world -> camera
+        z = pc[:, 2]
+        front = z > 1e-3
+        zs = np.where(front, z, 1.0)
+        u = np.round(fx * pc[:, 0] / zs + cx).astype(np.int64)
+        v = np.round(fy * pc[:, 1] / zs + cy).astype(np.int64)
+        H, W = frames.depth[i].shape
+        ok = front & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        d = np.zeros(len(samples), np.float32)
+        d[ok] = np.asarray(frames.depth[i], np.float32)[v[ok], u[ok]] / scale
+        seen_through = ok & (d > 0) & (z < d - margin)
+        if miss_is_free:
+            seen_through |= ok & (d <= 0)
+        refuted |= seen_through
+    return refuted
+
+
 def close_gate_signals(open_tris, closed_tris, obs,
-                       n_samples=15_000, hole_tau=0.006, seed=0):
+                       n_samples=15_000, hole_tau=0.006, seed=0,
+                       frames=None, volume_bounds=None, margin=0.004,
+                       miss_is_free=True):
     """GT-free evidence for choosing the open TSDF mesh vs its
     Poisson-closed variant (the auto `close_mesh="auto"` gate).
 
-    The only ground truth available in-pipeline is the observation
-    cloud, so the gate scores both meshes against a truth-surface
-    hypothesis S = observations UNION the closed mesh's unobserved
-    closure area (surface >hole_tau from any observation — e.g. the
-    underside no above-floor camera can see):
+    The gate scores both meshes against the observation cloud, then
+    splits the closed mesh's closure area (surface >hole_tau from any
+    observation) by the capture's own free-space evidence:
 
       * fit_open / fit_closed — mean exact point-to-triangle distance
         observations -> mesh: how well each mesh tracks real data.
-      * hole_mean_open — mean distance of the closure-area samples to
-        the OPEN mesh: what the open mesh pays for the area it is
-        missing (0 for the closed mesh by construction).
-      * hole_frac — closure area as a fraction of the closed surface
-        (capture-density signal: dense capture -> only the true
-        underside is unobserved -> small).
+      * REFUTED closure — samples some camera verifiably saw through
+        (``free_space_refuted``) or that fall outside the scan volume:
+        hallucinated surface. Charged to the CLOSED mesh at its
+        distance from the observations (a lower bound on its error).
+      * UNOBSERVED closure — the rest (e.g. the underside no
+        above-floor camera can see): plausibly-true surface the open
+        mesh is missing. Charged to the OPEN mesh at the samples'
+        distance to it.
 
-    proxy(M) = fit(M) + hole_frac * hole_mean(M) approximates the
-    symmetric Chamfer vs the unknown true surface up to the closure's
-    own (unknowable without GT) error in unobserved regions.
+    Without evidence (``frames``/``volume_bounds`` both None) every
+    closure sample counts as unobserved — the round-4 behavior, which
+    measured the failure this split exists for: a dense 72-frame capture
+    whose Poisson closure ballooned 3 cm below the object (3.600 mm vs
+    the open mesh's 0.733 mm true Chamfer) still won the gate, because
+    hallucinated closure in verifiably-empty space was priced as
+    truth the open mesh lacked.
     """
     from reconplan_tpu.ops.nn import nearest_neighbor
     from reconplan_tpu.recon.metrics import points_to_mesh_distance
@@ -250,18 +290,36 @@ def close_gate_signals(open_tris, closed_tris, obs,
         nearest_neighbor(jnp.asarray(csamp), jnp.asarray(obs))[0])
     in_hole = d_obs > hole_tau
     hole_frac = float(in_hole.mean())
-    if in_hole.any():
-        hole_mean_open = float(np.mean(np.asarray(points_to_mesh_distance(
-            jnp.asarray(csamp[in_hole]), jnp.asarray(open_tris)))))
-    else:
-        hole_mean_open = 0.0
-    proxy_open = fit_open + hole_frac * hole_mean_open
-    proxy_closed = fit_closed  # closure area is on the closed mesh
+
+    refuted = np.zeros(n_samples, bool)
+    if frames is not None:
+        refuted = free_space_refuted(
+            csamp, frames, margin=margin, miss_is_free=miss_is_free)
+    if volume_bounds is not None:
+        lo, hi = (np.asarray(b, np.float32) for b in volume_bounds)
+        refuted |= np.any((csamp < lo - margin) | (csamp > hi + margin),
+                          axis=-1)
+    refuted &= in_hole  # fit_* already prices the observed area
+    unobs = in_hole & ~refuted
+
+    refuted_frac = float(refuted.mean())
+    unobs_frac = float(unobs.mean())
+    hole_mean_open = (
+        float(np.mean(np.asarray(points_to_mesh_distance(
+            jnp.asarray(csamp[unobs]), jnp.asarray(open_tris)))))
+        if unobs.any() else 0.0
+    )
+    refuted_mean = float(d_obs[refuted].mean()) if refuted.any() else 0.0
+    proxy_open = fit_open + unobs_frac * hole_mean_open
+    proxy_closed = fit_closed + refuted_frac * refuted_mean
     return {
         "fit_open_mm": fit_open * 1000,
         "fit_closed_mm": fit_closed * 1000,
         "hole_frac": hole_frac,
+        "refuted_frac": refuted_frac,
+        "unobserved_frac": unobs_frac,
         "hole_mean_open_mm": hole_mean_open * 1000,
+        "refuted_mean_mm": refuted_mean * 1000,
         "proxy_open_mm": proxy_open * 1000,
         "proxy_closed_mm": proxy_closed * 1000,
         "best": "closed" if proxy_closed < proxy_open else "open",
@@ -467,8 +525,11 @@ def run_scan(
         open_mesh = results.get("fuse_chamfer_mm") is not None and len(mesh)
         if close_mesh == "auto" and open_mesh:
             with timer.stage("close_gate"):
+                vol_lo = np.asarray(pipe.origin, np.float32)
+                vol_hi = vol_lo + (np.asarray(pipe.dims) - 1) * pipe.voxel_size
                 gate = close_gate_signals(
-                    np.asarray(mesh, np.float32), closed, obs
+                    np.asarray(mesh, np.float32), closed, obs,
+                    frames=frames, volume_bounds=(vol_lo, vol_hi),
                 )
             results["close_gate"] = gate
             best_tris = closed if gate["best"] == "closed" else mesh
@@ -483,7 +544,9 @@ def run_scan(
                     f"auto close gate: kept {gate['best']} mesh "
                     f"(proxy open {gate['proxy_open_mm']:.3f} mm vs "
                     f"closed {gate['proxy_closed_mm']:.3f} mm; "
-                    f"hole_frac {gate['hole_frac']:.3%})"
+                    f"hole {gate['hole_frac']:.3%} = "
+                    f"refuted {gate['refuted_frac']:.3%} + "
+                    f"unobserved {gate['unobserved_frac']:.3%})"
                 )
         elif close_mesh == "auto":
             results["best_mesh"] = "closed"
