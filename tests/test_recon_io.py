@@ -80,6 +80,65 @@ class TestCloseGate:
         assert g["best"] == "open", g
         assert g["fit_closed_mm"] > g["fit_open_mm"], g
 
+    def _frame_looking_down(self, eye_z=0.3, depth_m=None):
+        """One synthetic camera at +z looking straight down at the
+        origin (camera +z axis = world -z), full-frame constant depth."""
+        from reconplan_tpu.io.frames import FrameSet
+
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                             np.float32)
+        T[2, 3] = eye_z
+        d = np.full((480, 640), (depth_m or 0.0) * 1000, np.float32)
+        return FrameSet(depth=d[None], color=None, poses=T[None],
+                        depth_scale=1000.0,
+                        intrinsics=(615.67, 615.96, 326.06, 240.56))
+
+    def test_free_space_refuted_by_depth_and_miss_rays(self):
+        from reconplan_tpu.apps.scan import free_space_refuted
+
+        fr = self._frame_looking_down(depth_m=0.25)  # surface at z=0.05
+        pts = np.array([
+            [0, 0, 0.2],    # between camera and surface: seen through
+            [0, 0, -0.1],   # behind the surface: occluded
+            [0, 0, 0.051],  # just above surface, within margin: kept
+        ], np.float32)
+        ref = free_space_refuted(pts, fr, margin=0.004)
+        assert ref.tolist() == [True, False, False], ref
+        # no-return rays refute only when miss_is_free (an all-miss
+        # frame has no occluder, so every in-frustum point is refuted)
+        fr0 = self._frame_looking_down(depth_m=0.0)
+        ref0 = free_space_refuted(pts, fr0, miss_is_free=True)
+        assert ref0.all(), ref0
+        ref0 = free_space_refuted(pts, fr0, miss_is_free=False)
+        assert not ref0.any(), ref0
+
+    def test_refuted_closure_charged_to_closed_mesh(self):
+        """The dense-capture failure mode (measured on the 72-frame scan:
+        closure ballooned into verifiably-empty space below the object
+        and still won): a closure bulge the camera saw through must be
+        charged to the CLOSED mesh, flipping the decision to open."""
+        from reconplan_tpu.apps.scan import close_gate_signals
+
+        obs = self._obs(z_min=-0.02)
+        open_tris = uv_sphere_tris(z_min=-0.02)
+        # balloon closure: underside inflated to 3x the sphere radius
+        balloon = uv_sphere_tris(r=0.15)
+        balloon = balloon[balloon.mean(axis=1)[:, 2] < -0.06]
+        closed_tris = np.concatenate(
+            [uv_sphere_tris(z_min=-0.02), balloon])
+        # camera 0.3 above, looking down: sees the sphere top (depth
+        # 0.25) in the center, no-return elsewhere — the balloon below
+        # is outside every hit ray, refuted via miss rays
+        fr = self._frame_looking_down(depth_m=0.0)
+        g_old = close_gate_signals(open_tris, closed_tris, obs,
+                                   n_samples=4000, hole_tau=0.004)
+        assert g_old["best"] == "closed", g_old  # the round-4 failure
+        g = close_gate_signals(open_tris, closed_tris, obs,
+                               n_samples=4000, hole_tau=0.004, frames=fr)
+        assert g["refuted_frac"] > 0.2, g
+        assert g["best"] == "open", g
+
 
 class TestPoisson:
     def test_sphere_reconstruction_submillimeter(self):
