@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--kinds", default=",".join(KINDS),
                     help="comma-separated trajectory kinds, in run order "
                     "(lets a resumed run front-load the unfinished kinds)")
+    ap.add_argument("--arms", default="grr,random_grr,newton,relaxed",
+                    help="comma-separated arms to run (batch engine) — a "
+                    "single-arm variant rerun merges against the landed "
+                    "table instead of repaying all four")
     ap.add_argument("--grr-greedy-seed", action="store_true",
                     help="add the current config as an extra GRR IK seed "
                     "(DTW-gap experiment; documented divergence from the "
@@ -170,6 +174,7 @@ def main(argv=None):
             checkpoint_path=(args.out + ".partial") if args.out else None,
             initial_results=initial,
             greedy_seed=args.grr_greedy_seed,
+            arms=tuple(a.strip() for a in args.arms.split(",") if a.strip()),
         )
         print(f"\nbatched benchmark wall time: {time.time()-t0:.1f}s")
     else:

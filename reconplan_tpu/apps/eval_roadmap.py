@@ -21,6 +21,10 @@ def main(argv=None):
     ap.add_argument("--dir", default=None)
     ap.add_argument("--html", default=None,
                     help="write an interactive roadmap viewer HTML here")
+    ap.add_argument("--census", action="store_true",
+                    help="IK-reachability census: what fraction of "
+                    "reachable workspace nodes the roadmap configures")
+    ap.add_argument("--census-restarts", type=int, default=8)
     args = ap.parse_args(argv)
 
     opts = load_problem(args.robot, args.rotation_type)
@@ -51,6 +55,10 @@ def main(argv=None):
         res.solver.has_config[idx] = True
         res.solver.check_connections(list(idx))
     evaluate_roadmap(res)
+    if args.census:
+        from reconplan_tpu.grr import census_reachability
+
+        census_reachability(res, restarts=args.census_restarts)
     if args.html:
         from reconplan_tpu.viz import export_roadmap_html
 

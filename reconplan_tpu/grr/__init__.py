@@ -23,7 +23,7 @@ from reconplan_tpu.grr.paths import (
     arc_interpolate,
     linear_interpolate,
 )
-from reconplan_tpu.grr.quality import evaluate_roadmap
+from reconplan_tpu.grr.quality import census_reachability, evaluate_roadmap
 from reconplan_tpu.grr import experiment, nearest_neighbors
 
 __all__ = [

@@ -1186,6 +1186,7 @@ def run_reference_benchmark(
     checkpoint_path=None,
     initial_results=None,
     greedy_seed=False,
+    arms=("grr", "random_grr", "newton", "relaxed"),
 ):
     """All arms x all kinds at the reference protocol, ticks batched.
 
@@ -1201,6 +1202,10 @@ def run_reference_benchmark(
     run (a ``checkpoint_path`` dump) — kinds already present are
     skipped, so a killed multi-hour run resumes at the first
     unfinished kind instead of repaying the finished ones.
+
+    ``arms``: which arms to run — a variant rerun (e.g. the round-5
+    greedy-seeded GRR row) measures one arm in ~1/6 the wall time and
+    merges against the landed table instead of repaying all four.
     """
     robot = resolution.robot
     results = dict(initial_results) if initial_results else {}
@@ -1225,17 +1230,19 @@ def run_reference_benchmark(
         q0s, alive = cold_starts(resolution, trajs)
         _phase(f"{int(alive.sum())}/{len(trajs)} alive starts")
         kind_res = {}
+        stats_out[kind] = {}
 
-        _phase("grr: tracking")
-        grr_c, grr_stats = grr_teleop_batch(
-            resolution, trajs, q0s, alive, max_change, converge_steps,
-            verbose=verbose, greedy_seed=greedy_seed,
-        )
-        _phase("grr: analysis")
-        kind_res["grr"] = summarize(analyze_arm(robot, trajs, grr_c))
-        stats_out[kind] = {"grr": grr_stats}
+        if "grr" in arms:
+            _phase("grr: tracking")
+            grr_c, grr_stats = grr_teleop_batch(
+                resolution, trajs, q0s, alive, max_change, converge_steps,
+                verbose=verbose, greedy_seed=greedy_seed,
+            )
+            _phase("grr: analysis")
+            kind_res["grr"] = summarize(analyze_arm(robot, trajs, grr_c))
+            stats_out[kind]["grr"] = grr_stats
 
-        if random_resolution is not None:
+        if random_resolution is not None and "random_grr" in arms:
             _phase("random_grr: cold starts")
             rq0, ralive = cold_starts(random_resolution, trajs)
             _phase("random_grr: tracking")
@@ -1247,14 +1254,15 @@ def run_reference_benchmark(
             kind_res["random_grr"] = summarize(analyze_arm(robot, trajs, rand_c))
             stats_out[kind]["random_grr"] = rand_stats
 
-        _phase("newton: tracking")
-        newton_c = newton_teleop_batch(
-            robot, trajs, q0s, alive, max_change, converge_steps
-        )
-        _phase("newton: analysis")
-        kind_res["newton"] = summarize(analyze_arm(robot, trajs, newton_c))
+        if "newton" in arms:
+            _phase("newton: tracking")
+            newton_c = newton_teleop_batch(
+                robot, trajs, q0s, alive, max_change, converge_steps
+            )
+            _phase("newton: analysis")
+            kind_res["newton"] = summarize(analyze_arm(robot, trajs, newton_c))
 
-        if include_relaxed:
+        if include_relaxed and "relaxed" in arms:
             _phase("relaxed: tracking")
             relaxed_c = relaxed_teleop_batch(
                 robot, trajs, q0s, alive, max_change, converge_steps

@@ -338,6 +338,22 @@ class TestQuality:
         assert 0 <= m["disconnection_ratio"] <= 100
         assert m["distance_ratio"] > 0
 
+    def test_census_counts_consistent(self, small_roadmap):
+        from reconplan_tpu.grr import census_reachability
+
+        c = census_reachability(small_roadmap, restarts=2, verbose=False)
+        n_cfg = int(small_roadmap.solver.has_config.sum())
+        # every configured node is by definition reachable, and the
+        # witness at a configured node is its existing config
+        assert c["n_reachable"] >= n_cfg
+        assert c["n_configured"] == n_cfg
+        assert bool(np.all(c["reachable"][small_roadmap.solver.has_config]))
+        i = np.flatnonzero(small_roadmap.solver.has_config)[0]
+        np.testing.assert_allclose(
+            c["witness"][i], small_roadmap.solver.configs[i]
+        )
+        assert 0 < c["coverage_of_reachable"] <= 100.0
+
 
 class TestNearestNeighbors:
     """C9 parity: the GNAT-interface dense engine."""
