@@ -69,6 +69,7 @@ def build_roadmap(
     fix_boundary_iters=2,
     repair_edges=True,
     scrub=False,
+    coherent=False,
 ):
     """Build (or ``resume`` an interrupted build of) a roadmap.
 
@@ -120,6 +121,7 @@ def build_roadmap(
     res.solver.global_expansion(
         seed_configs,
         on_sweep=lambda s: res.save_solver_graph(solver_path),
+        coherent=coherent,
     )
     if verbose:
         print(f"Expansion: {time.time()-t0:.1f}s" + (" (resumed)" if resumed else ""))
@@ -168,6 +170,10 @@ def main(argv=None):
     ap.add_argument("--scrub", action="store_true",
                     help="drop configs of unrepairable nodes until 0%% "
                     "disconnection (the reference artifact's end-state)")
+    ap.add_argument("--coherent", action="store_true",
+                    help="FIFO-coherent expansion: direct-neighbor-first "
+                    "frontier + graph-colored independent sets within "
+                    "each wave (see ExpansionSolver.global_expansion)")
     ap.add_argument(
         "--no-floor-check", action="store_true",
         help="disable the UR10 floor check (reference-ARTIFACT parity: the "
@@ -188,6 +194,7 @@ def main(argv=None):
         fix_boundary_iters=args.fix_boundary_iters,
         repair_edges=not args.no_repair_edges,
         scrub=args.scrub,
+        coherent=args.coherent,
     )
 
 

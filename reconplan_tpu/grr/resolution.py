@@ -71,8 +71,8 @@ class RedundancyResolution:
         )
         self.solver = ExpansionSolver(self.workspace, self.robot)
 
-    def global_expansion(self, configs):
-        self.solver.global_expansion(configs)
+    def global_expansion(self, configs, **kwargs):
+        self.solver.global_expansion(configs, **kwargs)
 
     def fix_boundary(self, n_neighbor_layer=1, n_iter=5):
         self.solver.fix_boundary(n_neighbor_layer, n_iter)

@@ -386,7 +386,7 @@ class ExpansionSolver:
         return start_neighbors
 
     def global_expansion(self, seed_configs, k_layers=4, verbose=True,
-                         on_sweep=None):
+                         on_sweep=None, coherent=False):
         """BFS expansion (``solver.py:69-163``) in batched waves.
 
         ``on_sweep(solver)``, when given, is called after every stabilised
@@ -394,6 +394,19 @@ class ExpansionSolver:
         interrupted expansion can resume (reference redundancy.py:37-52).
         Seeds already present in ``has_config`` (a resumed build) are kept;
         expansion continues from the existing frontier.
+
+        ``coherent=True`` restores the reference FIFO's field coherence
+        while keeping batched dispatch (round 5; the plain batched wave
+        is the root cause of the rot_fixed artifact gap — 3.5k residual
+        discontinuous edges after smoothing): (a) the frontier escalates
+        from DIRECT configured neighbors (k=1) to ``k_layers`` only when
+        stalled, so no node is pinned from a 4-layer-away basin while a
+        nearer projection exists; and (b) each wave is partitioned into
+        graph-coloring independent sets solved sequentially, so adjacent
+        frontier nodes never solve blind to each other — the later set
+        projects from the earlier set's fresh configs, exactly like the
+        FIFO. Cost: ~number-of-colors more (still batched) IK dispatches
+        per wave.
         """
         start_neighbors = self.initialize_from_configs(seed_configs, verbose)
         if self.has_config.sum() > len(seed_configs):
@@ -416,29 +429,72 @@ class ExpansionSolver:
             # dispatch latency ~n/2 times; the outer repeat-until-stable
             # loop makes the final assignment insensitive to this order,
             # same as the reference's own re-expansion loop.)
+            k_floor = 1
             while True:
-                todo = [
-                    i
-                    for i in range(ws.num_nodes)
-                    if not self.has_config[i]
-                    and any(
-                        self.has_config[j]
-                        for j in self._k_layer_neighbors(i, k_layers)
-                    )
-                ]
+                todo, k_eff = [], k_layers
+                if coherent:
+                    # tightest frontier first: only escalate the
+                    # projection radius when the nearer one is stalled
+                    # (k_floor rises past radii whose whole frontier
+                    # failed IK, else they would retry forever)
+                    for k_try in range(k_floor, k_layers + 1):
+                        todo = [
+                            i
+                            for i in range(ws.num_nodes)
+                            if not self.has_config[i]
+                            and any(
+                                self.has_config[j]
+                                for j in self._k_layer_neighbors(i, k_try)
+                            )
+                        ]
+                        if todo:
+                            k_eff = k_try
+                            break
+                else:
+                    todo = [
+                        i
+                        for i in range(ws.num_nodes)
+                        if not self.has_config[i]
+                        and any(
+                            self.has_config[j]
+                            for j in self._k_layer_neighbors(i, k_layers)
+                        )
+                    ]
                 if not todo:
                     break
-                q, ok = self.project_neighbors_batch(todo, k_layers)
-                assigned = []
-                for b, i in enumerate(todo):
-                    if ok[b]:
-                        self.configs[i] = q[b]
-                        self.has_config[i] = True
-                        assigned.append(i)
-                if not assigned:
+                if coherent:
+                    remaining = set(todo)
+                    batches = []
+                    while remaining:
+                        cls, blocked = [], set()
+                        for i in sorted(remaining):
+                            if i in blocked:
+                                continue
+                            cls.append(i)
+                            blocked.update(ws.adjacency[i])
+                        batches.append(cls)
+                        remaining -= set(cls)
+                else:
+                    batches = [todo]
+                any_assigned = False
+                for cls in batches:
+                    q, ok = self.project_neighbors_batch(cls, k_eff)
+                    assigned = []
+                    for b, i in enumerate(cls):
+                        if ok[b]:
+                            self.configs[i] = q[b]
+                            self.has_config[i] = True
+                            assigned.append(i)
+                    if assigned:
+                        any_assigned = True
+                        self.check_connections(assigned)
+                if not any_assigned:
+                    if coherent and k_eff < k_layers:
+                        k_floor = k_eff + 1
+                        continue
                     break
                 updated = True
-                self.check_connections(assigned)
+                k_floor = 1
             sweep += 1
             if verbose:
                 print(

@@ -588,15 +588,17 @@ def _integrate_kernel(
             vmin = jnp.min(jnp.where(in_img, vi, BIG))
             vmax = jnp.max(jnp.where(in_img, vi, -BIG))
 
-            # lane window: a 256-lane aligned load rolled so the footprint
-            # starts at lane 0 — one 128-lane gather per row, no chunk
-            # select. (tpu.dynamic_gather spans one vreg = 128 lanes along
-            # the gather dim; the roll is a single dynamic lane rotation.)
-            u0 = jnp.clip((umin // 128) * 128, 0, Wd - WIN_W)
+            # fit/straddle lane windows (round-5 profile: the 256-lane
+            # load + lane roll dominated the kernel; see the dyn kernel's
+            # comment). Most footprints fit one aligned 128-lane span —
+            # load (Hwin, 128), gather with window-relative indices, no
+            # lane roll; straddlers load the second span and select.
+            u0 = jnp.clip((umin // 128) * 128, 0, Wd - 128)
             u0 = pl.multiple_of(u0, 128)
-            shift = jnp.clip(umin - u0, 0, 128)
-            ubase = u0 + shift
-            ul = ui - ubase
+            u1 = jnp.clip(u0 + 128, 0, Wd - 128)
+            u1 = pl.multiple_of(u1, 128)
+            straddle = (umax // 128) > (umin // 128)
+            ul = ui - u0
 
             # row branches: SAMPLE_BRANCHES ladder with a sublane roll so
             # the loop walks only the true footprint height (see the
@@ -608,8 +610,10 @@ def _integrate_kernel(
             for (_, L), ft in zip(SAMPLE_BRANCHES[-2::-1], fits[::-1]):
                 loop_eff = jnp.where(ft, jnp.int32(L), loop_eff)
             vl = vi - vmin
-            in_win = (ul >= 0) & (ul < 128) & (vl >= 0) & (vl < loop_eff)
+            ulim = jnp.where(straddle, 256, 128)
+            in_win = (ul >= 0) & (ul < ulim) & (vl >= 0) & (vl < loop_eff)
             ulc = jnp.clip(ul, 0, 127)
+            uhc = jnp.clip(ul - 128, 0, 127)
 
             def _sample(Hwin, LOOP):
                 v0 = jnp.clip((vmin // 8) * 8, 0, Hd - Hwin)
@@ -618,20 +622,37 @@ def _integrate_kernel(
                 # +2^20 sentinel; its samples are masked by in_img, the
                 # roll just must not see a negative shift
                 s0 = jnp.clip(vmin - v0, 0, Hwin - 1)
-                win = depths_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
-                rolled = pltpu.roll(
-                    win, jnp.where(shift == 0, 0, WIN_W - shift), axis=1
+                roll_v = jnp.where(s0 == 0, 0, Hwin - s0)
+                TILE = (BRICK_Z, BRICK_Y * BRICK_X)
+
+                def _rows(wins):
+                    d = jnp.zeros_like(sdf)
+                    for r in range(LOOP):
+                        g = jnp.take_along_axis(
+                            jnp.broadcast_to(wins[0][r], TILE), ulc, axis=1
+                        )
+                        if len(wins) == 2:
+                            gh = jnp.take_along_axis(
+                                jnp.broadcast_to(wins[1][r], TILE), uhc,
+                                axis=1,
+                            )
+                            g = jnp.where(ul >= 128, gh, g)
+                        d = jnp.where(vl == r, g, d)
+                    return d
+
+                def _arm(nwin):
+                    wins = [
+                        pltpu.roll(
+                            depths_ref[f, pl.ds(v0, Hwin), pl.ds(ub, 128)],
+                            roll_v, axis=0,
+                        )
+                        for ub in (u0, u1)[:nwin]
+                    ]
+                    return _rows(wins)
+
+                return jax.lax.cond(
+                    straddle, lambda: _arm(2), lambda: _arm(1)
                 )
-                wl = pltpu.roll(
-                    rolled[:, :128],
-                    jnp.where(s0 == 0, 0, Hwin - s0), axis=0,
-                )
-                d = jnp.zeros_like(sdf)
-                for r in range(LOOP):
-                    row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
-                    g = jnp.take_along_axis(row, ulc, axis=1)
-                    d = jnp.where(vl == r, g, d)
-                return d
 
             d = _branch_sample(_sample, fits)
             ok = in_win & in_img
@@ -856,6 +877,9 @@ def _integrate_kernel_dyn(
                 umin = jnp.clip(
                     jnp.floor(_mins(c_us)).astype(jnp.int32) - 1, 0, Wd - 1
                 )
+                umax = jnp.clip(
+                    jnp.ceil(_maxs(c_us)).astype(jnp.int32) + 1, 0, Wd - 1
+                )
                 vmin = jnp.clip(
                     jnp.floor(_mins(c_vs)).astype(jnp.int32) - 1, 0, Hd - 1
                 )
@@ -863,10 +887,20 @@ def _integrate_kernel_dyn(
                     jnp.ceil(_maxs(c_vs)).astype(jnp.int32) + 1, 0, Hd - 1
                 )
 
-                u0 = jnp.clip((umin // 128) * 128, 0, Wd - WIN_W)
+                # fit/straddle lane windows (round-5 profile: the old
+                # always-256-lane load + lane roll was 12.5 of the 16.6 ms
+                # kernel — the load ~8.3, the roll ~4.2. The footprint of
+                # an 8x16x8 brick is ~16-32 px, so most bricks fit inside
+                # ONE aligned 128-lane span: load (Hwin, 128) and gather
+                # with window-relative indices, NO lane roll. Only a
+                # 128-boundary-straddling footprint loads the second span
+                # and selects between two gathers.)
+                u0 = jnp.clip((umin // 128) * 128, 0, Wd - 128)
                 u0 = pl.multiple_of(u0, 128)
-                shift = jnp.clip(umin - u0, 0, 128)
-                ul = ui - (u0 + shift)
+                u1 = jnp.clip(u0 + 128, 0, Wd - 128)
+                u1 = pl.multiple_of(u1, 128)
+                straddle = (umax // 128) > (umin // 128)
+                ul = ui - u0
 
                 # Row branch = smallest loop bound covering the EXACT
                 # footprint height; the loaded window is 8 rows taller
@@ -884,39 +918,69 @@ def _integrate_kernel_dyn(
                                       fits[::-1]):
                     loop_eff = jnp.where(ft, jnp.int32(L), loop_eff)
                 vl = vi - vmin
-                in_win = (ul >= 0) & (ul < 128) & (vl >= 0) & (vl < loop_eff)
+                ulim = jnp.where(straddle, 256, 128)
+                in_win = (ul >= 0) & (ul < ulim) & (vl >= 0) & (vl < loop_eff)
                 ulc = jnp.clip(ul, 0, 127)
+                uhc = jnp.clip(ul - 128, 0, 127)
 
                 def _sample(Hwin, LOOP):
                     """Gather depth (and packed color) at the voxel
-                    projections from an (Hwin, WIN_W) window rolled so
-                    the footprint starts at lane 0 / sublane 0."""
+                    projections from one or two (Hwin, 128) lane-aligned
+                    windows (sublane roll only; gather indices are
+                    window-relative so no lane roll is needed)."""
                     v0 = jnp.clip((vmin // 8) * 8, 0, Hd - Hwin)
                     v0 = pl.multiple_of(v0, 8)
                     s0 = jnp.clip(vmin - v0, 0, Hwin - 1)
-                    roll_u = jnp.where(shift == 0, 0, WIN_W - shift)
                     roll_v = jnp.where(s0 == 0, 0, Hwin - s0)
-                    win = depths_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
-                    wl = pltpu.roll(win, roll_u, axis=1)[:, :128]
-                    wl = pltpu.roll(wl, roll_v, axis=0)
-                    d = jnp.zeros_like(sdf)
-                    if with_color:
-                        cwin = colors_ref[f, pl.ds(v0, Hwin), pl.ds(u0, WIN_W)]
-                        cl = pltpu.roll(cwin, roll_u, axis=1)[:, :128]
-                        cl = pltpu.roll(cl, roll_v, axis=0)
-                        c = jnp.zeros_like(sdf, dtype=jnp.int32)
-                    for r in range(LOOP):
-                        sel = vl == r
-                        row = jnp.broadcast_to(wl[r], (BRICK_Z, BRICK_Y * BRICK_X))
-                        d = jnp.where(sel, jnp.take_along_axis(row, ulc, axis=1), d)
-                        if with_color:
-                            crow = jnp.broadcast_to(
-                                cl[r], (BRICK_Z, BRICK_Y * BRICK_X)
+                    TILE = (BRICK_Z, BRICK_Y * BRICK_X)
+
+                    def _rows(wins, cwins):
+                        d = jnp.zeros_like(sdf)
+                        c = (jnp.zeros_like(sdf, dtype=jnp.int32)
+                             if with_color else None)
+                        two = len(wins) == 2
+                        for r in range(LOOP):
+                            sel = vl == r
+                            g = jnp.take_along_axis(
+                                jnp.broadcast_to(wins[0][r], TILE), ulc,
+                                axis=1,
                             )
-                            c = jnp.where(
-                                sel, jnp.take_along_axis(crow, ulc, axis=1), c
-                            )
-                    return (d, c) if with_color else (d, d)
+                            if two:
+                                gh = jnp.take_along_axis(
+                                    jnp.broadcast_to(wins[1][r], TILE),
+                                    uhc, axis=1,
+                                )
+                                g = jnp.where(ul >= 128, gh, g)
+                            d = jnp.where(sel, g, d)
+                            if with_color:
+                                gc = jnp.take_along_axis(
+                                    jnp.broadcast_to(cwins[0][r], TILE),
+                                    ulc, axis=1,
+                                )
+                                if two:
+                                    gch = jnp.take_along_axis(
+                                        jnp.broadcast_to(cwins[1][r], TILE),
+                                        uhc, axis=1,
+                                    )
+                                    gc = jnp.where(ul >= 128, gch, gc)
+                                c = jnp.where(sel, gc, c)
+                        return (d, c) if with_color else (d, d)
+
+                    def _arm(nwin):
+                        wins, cwins = [], []
+                        for ub in (u0, u1)[:nwin]:
+                            w_ = depths_ref[f, pl.ds(v0, Hwin), pl.ds(ub, 128)]
+                            wins.append(pltpu.roll(w_, roll_v, axis=0))
+                            if with_color:
+                                c_ = colors_ref[
+                                    f, pl.ds(v0, Hwin), pl.ds(ub, 128)
+                                ]
+                                cwins.append(pltpu.roll(c_, roll_v, axis=0))
+                        return _rows(wins, cwins)
+
+                    return jax.lax.cond(
+                        straddle, lambda: _arm(2), lambda: _arm(1)
+                    )
 
                 d, cpk = _branch_sample(_sample, fits)
                 ok = in_win & in_img

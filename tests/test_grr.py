@@ -166,6 +166,23 @@ class TestExpansion:
         assert m["n_configured"] >= 0.8 * m["n_nodes"], m
         assert m["disconnection_ratio"] < 25.0, m
 
+    def test_coherent_expansion_matches_or_beats_batched(self, ur10):
+        """coherent=True (direct-neighbor-first + graph-colored waves)
+        must configure a comparable share of the roadmap with no worse
+        field coherence than the plain batched wave (round 5; the
+        rot_fixed artifact-parity lever)."""
+        opts = load_problem("ur10", "rot_free")
+        res = RedundancyResolution(ur10)
+        res.sample_workspace([0.75, 0.75, 0.0], 40, 1, "random")
+        res.global_expansion(
+            np.asarray(opts["init_configs"], dtype=np.float32),
+            coherent=True, verbose=False,
+        )
+        res.build_resolution_graph_and_nn()
+        m = evaluate_roadmap(res, verbose=False)
+        assert m["n_configured"] >= 0.8 * m["n_nodes"], m
+        assert m["disconnection_ratio"] < 25.0, m
+
     def test_resolution_configs_satisfy_fk(self, small_roadmap):
         """Every resolution node's config must FK onto its workspace point."""
         res = small_roadmap
