@@ -60,12 +60,31 @@ class SimRTDE(RTDE):
     simulation stand-in for the real arm, like the reference's PyBullet
     clients but with zero native dependencies."""
 
-    def __init__(self, robot, q0=None, realtime=False):
+    def __init__(self, robot, q0=None, realtime=False, dynamics=None):
         self.robot = robot
         self.q = np.zeros(robot.num_joints) if q0 is None else np.asarray(q0, dtype=np.float64)
         self.qd = np.zeros(robot.num_joints)
         self.realtime = realtime
+        # dynamics: a kin.dynamics.ServoExecutor — move/servo commands
+        # then advance the state through 240 Hz servo dynamics instead
+        # of teleporting, so executed joints LAG the command (the
+        # reference's PyBullet POSITION_CONTROL playback,
+        # ``main.py:218-234``); pass dynamics=True for default gains
+        if dynamics is True:
+            from reconplan_tpu.kin.dynamics import ServoExecutor
+
+            dynamics = ServoExecutor(robot)
+        self.dynamics = dynamics
         self.command_log = []  # (method, payload) for tests/inspection
+
+    def _servo_to(self, target, duration):
+        res = self.dynamics.execute(
+            np.asarray([max(duration, 1.0 / self.dynamics.hz)], np.float32),
+            np.asarray(target, np.float32)[None],
+            q0=self.q.astype(np.float32), qd0=self.qd.astype(np.float32),
+        )
+        self.q = res["q_ticks"][-1].astype(np.float64)
+        self.qd = res["qd_ticks"][-1].astype(np.float64)
 
     def get_joint_values(self):
         return self.q.tolist()
@@ -90,15 +109,43 @@ class SimRTDE(RTDE):
     def move_joint(self, joint_values, speed=1.05, acceleration=1.4,
                    asynchronous=False):
         target = np.asarray(joint_values, dtype=np.float64)
+        dist = np.abs(target - self.q).max()
         if self.realtime:
-            dist = np.abs(target - self.q).max()
             time.sleep(min(float(dist) / max(speed, 1e-6), 2.0))
-        self.q = target
+        if self.dynamics is not None:
+            # moveJ is a BLOCKING move: servo for the nominal duration
+            # plus a settle window (~6 servo time constants) so the
+            # regulator converges like the real controller's blend-in;
+            # streaming commands (servo_joint / trajectories) keep the
+            # honest residual lag instead
+            self._servo_to(
+                target,
+                float(dist) / max(speed, 1e-6) + 6.0 / self.dynamics.kp,
+            )
+        else:
+            self.q = target
         self.command_log.append(("move_joint", target.tolist()))
 
     def move_joint_trajectory(self, path, asynchronous=False):
-        for wp in path:
-            self.move_joint(wp[:6])
+        if self.dynamics is not None and len(path):
+            # one fused 240 Hz execution of the whole timestamped path
+            qs = np.asarray([wp[:6] for wp in path], np.float32)
+            speeds = np.asarray(
+                [wp[6] if len(wp) > 6 else 1.05 for wp in path], np.float32
+            )
+            prev = np.concatenate([self.q[None].astype(np.float32), qs[:-1]])
+            dt = np.abs(qs - prev).max(axis=1) / np.maximum(speeds, 1e-6)
+            times = np.cumsum(np.maximum(dt, 1.0 / self.dynamics.hz))
+            res = self.dynamics.execute(
+                times, qs, q0=self.q.astype(np.float32),
+                qd0=self.qd.astype(np.float32),
+            )
+            self.q = res["q_ticks"][-1].astype(np.float64)
+            self.qd = res["qd_ticks"][-1].astype(np.float64)
+            self.last_execution = res
+        else:
+            for wp in path:
+                self.move_joint(wp[:6])
         self.command_log.append(("move_joint_trajectory", len(path)))
 
     def speed_joint(self, speeds, acceleration=0.5, time=0.0):
@@ -107,7 +154,10 @@ class SimRTDE(RTDE):
 
     def servo_joint(self, joint_values, time=0.008, lookahead_time=0.1,
                     gain=300):
-        self.q = np.asarray(joint_values, dtype=np.float64)
+        if self.dynamics is not None:
+            self._servo_to(np.asarray(joint_values, np.float64), time)
+        else:
+            self.q = np.asarray(joint_values, dtype=np.float64)
         self.command_log.append(("servo_joint", list(joint_values)))
 
     def move_tool(self, pose, speed=0.25, acceleration=1.2, asynchronous=False):

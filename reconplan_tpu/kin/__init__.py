@@ -21,8 +21,10 @@ from reconplan_tpu.kin.collision import (
     sphere_group_collision,
 )
 from reconplan_tpu.kin.robot import Robot, UR10, Kinova, KinematicChain, Planar, make_robot
+from reconplan_tpu.kin.dynamics import ServoExecutor
 
 __all__ = [
+    "ServoExecutor",
     "RobModel",
     "parse_rob",
     "KinematicModel",

@@ -293,3 +293,52 @@ class TestRelaxedIK:
             )
             moves.append(float(jnp.abs(q - q0).max()))
         assert moves[1] < moves[0]
+
+
+class TestServoDynamics:
+    """Physics-based execution twin (reference ``main.py:218-234``:
+    PyBullet POSITION_CONTROL motors stepped at 240 Hz). The servo model
+    makes executed-vs-planned tracking error a measurable quantity."""
+
+    def _golden_timed(self):
+        times, qs = [], []
+        for line in open(os.path.join(DATA, "golden/ctraj.txt")):
+            t, rest = line.split(",", 1)
+            times.append(float(t))
+            qs.append(_parse_nums(rest))
+        return np.asarray(times, np.float32), np.asarray(qs, np.float32)
+
+    def test_converges_and_respects_velocity_limits(self, ur10):
+        from reconplan_tpu.kin.dynamics import ServoExecutor
+
+        ex = ServoExecutor(ur10)
+        q0 = np.zeros(6, np.float32)
+        qt = np.asarray([0.4, -0.3, 0.5, 0.2, -0.2, 0.3], np.float32)
+        res = ex.execute(np.asarray([3.0]), qt[None], q0=q0)
+        # generous time -> converged
+        assert np.abs(res["q_ticks"][-1] - qt).max() < 1e-3
+        # velocity limit respected at every tick
+        assert np.all(np.abs(res["qd_ticks"]) <= ex.vmax + 1e-4)
+
+    def test_golden_ctraj_execution_lags_but_tracks(self, ur10):
+        from reconplan_tpu.kin.dynamics import ServoExecutor
+
+        times, qs = self._golden_timed()
+        res = ServoExecutor(ur10).execute(times, qs)
+        # the servo LAGS the command (real dynamics, not teleport) ...
+        assert res["joint_err_max"] > 1e-4
+        # ... but tracks the 50 Hz golden trajectory closely
+        assert res["joint_err_mean"] < 0.05, res
+        assert res["ee_err_mean_mm"] < 25.0, res
+
+    def test_simrtde_dynamics_mode(self, ur10):
+        from reconplan_tpu.io.drivers import SimRTDE
+
+        sim = SimRTDE(ur10, dynamics=True)
+        target = [0.3, -0.2, 0.4, 0.1, -0.1, 0.2]
+        sim.move_joint(target)
+        assert np.abs(np.asarray(sim.get_joint_values()) - target).max() < 5e-3
+        path = [[*np.linspace(0, 0.3, 5)[i].repeat(6), 1.05, 1.4, 0.02]
+                for i in range(5)]
+        sim.move_joint_trajectory(path)
+        assert sim.last_execution["joint_err_max"] >= 0.0
