@@ -437,6 +437,46 @@ def main():
             lambda: None, masks_step, lambda o: o[-1][0]
         ) * 1e3
 
+        # (b2) mask sub-stages (occupancy build / pallas coarse bits /
+        # exact refine / argsort compaction), timed separately
+        @partial(jax.jit, static_argnames=("brick_dims", "stage"))
+        def _mask_stage(depths, T_chunk, origin, voxel, trunc, intr,
+                        brick_dims, stage):
+            occ0, occ1, binp = tb._build_depth_occupancy(depths, 1000.0, 3.0, 8)
+            if stage == "occ":
+                return occ0
+            bits = tb.active_brick_bits_pallas(
+                brick_dims, origin, voxel, trunc, occ0, occ1, binp, T_chunk,
+                intr[0], intr[1], intr[2], intr[3], 3.0, 8,
+            )
+            if stage == "bits":
+                return bits
+            bits = bits & tb._exact_frame_bits_dilated(
+                bits, depths, T_chunk, origin, voxel, trunc, intr,
+                brick_dims, 4096, 1000.0, 3.0,
+            )
+            if stage == "refine":
+                return bits
+            mask = bits != 0
+            ids = jnp.argsort(
+                jnp.where(mask, jnp.int32(0), jnp.int32(1)), stable=True
+            )[:MAX_ACTIVE].astype(jnp.int32)
+            return ids
+
+        for stage in ("occ", "bits", "refine", "argsort"):
+            def stage_step(_, stage=stage):
+                outs = []
+                for d, T in chunks:
+                    outs.append(_mask_stage(
+                        d, T, grid0.origin, voxel_size, trunc, intr,
+                        brick_dims, stage,
+                    ))
+                return outs
+
+            out[f"mask_{stage}_ms"] = timed(
+                lambda: None, stage_step, lambda o: o[-1]
+            ) * 1e3
+
         # precompute ids/fbits per chunk (host) for kernel-only timings
         pre = []
         for (d, T) in chunks:
