@@ -31,3 +31,21 @@ viz       host-side visualization exports
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # This image's axon sitecustomize registers the TPU-tunnel backend at
+    # interpreter start and latches the platform choice, silently overriding
+    # the standard JAX_PLATFORMS env contract: a subprocess launched with
+    # JAX_PLATFORMS=cpu still lands on the one real TPU chip (measured:
+    # ``JAX_PLATFORMS=cpu python -c "import jax; print(jax.devices())"``
+    # -> ``[TPU v5 lite0]``), which both starves the tunnel and violates the
+    # one-TPU-client discipline. Restore env-var semantics for every entry
+    # point that imports this package; no-op once a backend is already live.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # backend already initialized — caller's choice stands
+        pass
